@@ -1,0 +1,192 @@
+"""Attention ops: XLA reference path, chunked memory-efficient path, and a
+Pallas TPU flash-attention kernel.
+
+TPU-native replacement for the reference's SDPA/xformers stack
+(sat/transformer_defaults.py:47-80, sat/ops/memory_efficient_attention.py).
+The SCAIL workload is full (unmasked) bidirectional attention over a 48,832
+token fused sequence (SURVEY.md section 3.1), so the kernel implements
+online-softmax flash attention without masking support beyond kv-length
+padding.  Cross-attention reuses the same kernel with short KV.
+
+Canonical layout at the model level: (batch, seq, heads, head_dim).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+# --------------------------------------------------------------------------
+# Reference (naive XLA) path -- used by tests and small shapes.
+# --------------------------------------------------------------------------
+def _attention_xla(q, k, v, scale):
+    # (b, s, n, d) -> logits f32, softmax f32, out input-dtype; matches the
+    # numerics contract of torch SDPA closely enough for parity tolerances.
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Chunked (memory-efficient) XLA path -- differentiable everywhere, used for
+# training until the Pallas VJP lands and as the CPU fallback at scale.
+# --------------------------------------------------------------------------
+def _attention_chunked(q, k, v, scale, block_q: int = 512):
+    b, sq, n, d = q.shape
+    pad = (-sq) % block_q
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else q
+    nq = qp.shape[1] // block_q
+    qb = qp.reshape(b, nq, block_q, n, d).transpose(1, 0, 2, 3, 4)
+
+    def step(_, q_blk):
+        o = _attention_xla(q_blk, k, v, scale)
+        return None, o
+
+    _, ob = jax.lax.scan(step, None, qb)
+    out = ob.transpose(1, 0, 2, 3, 4).reshape(b, nq * block_q, n, d)
+    return out[:, :sq]
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU flash attention (forward).
+# --------------------------------------------------------------------------
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    v = v_ref[0]  # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # (bq, bk)
+
+    # mask kv padding (global kv index >= kv_len)
+    kv_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]  # (bq, 1)
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_attention_bnsd(q, k, v, scale, block_q=256, block_k=512):
+    """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed."""
+    B, sq, d = q.shape
+    skv = k.shape[1]
+    pq = (-sq) % block_q
+    pk = (-skv) % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    nq = q.shape[1] // block_q
+    nk = k.shape[1] // block_k
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * q.shape[1] * k.shape[1] * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=B * q.shape[1] * k.shape[1],
+        ),
+    )(q, k, v)
+    return out[:, :sq]
+
+
+def _attention_pallas(q, k, v, scale, block_q=256, block_k=512):
+    b, sq, n, d = q.shape
+    skv = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * n, skv, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * n, skv, d)
+    # short KV (cross attention): a single kv block avoids wasted grid steps
+    bk = min(block_k, max(128, ((skv + 127) // 128) * 128))
+    ot = _flash_attention_bnsd(qt, kt, vt, scale, block_q=block_q, block_k=bk)
+    return ot.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def attention(q, k, v, *, scale: float = None, impl: str = "auto"):
+    """Full bidirectional attention.
+
+    q: (b, sq, n, d); k/v: (b, skv, n, d).  Returns (b, sq, n, d).
+    scale defaults to 1/sqrt(d) (SDPA convention; the reference relies on
+    torch SDPA's default scaling, sat/transformer_defaults.py:59-73).
+    impl: 'auto' | 'xla' | 'chunked' | 'pallas'.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else ("xla" if q.shape[1] <= 4096 else "chunked")
+    if impl == "xla":
+        return _attention_xla(q, k, v, scale)
+    if impl == "chunked":
+        return _attention_chunked(q, k, v, scale)
+    if impl == "pallas":
+        return _attention_pallas(q, k, v, scale)
+    raise ValueError(f"unknown attention impl {impl}")

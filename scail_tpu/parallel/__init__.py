@@ -1,0 +1,31 @@
+from scail_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SEQ_AXIS,
+    MODEL_AXIS,
+    MeshSpec,
+    make_mesh,
+    get_mesh,
+    set_mesh,
+    mesh_axis_size,
+)
+from scail_tpu.parallel.sharding import (
+    PathRules,
+    specs_for_tree,
+    shard_tree,
+    with_sharding_constraint,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "SEQ_AXIS",
+    "MODEL_AXIS",
+    "MeshSpec",
+    "make_mesh",
+    "get_mesh",
+    "set_mesh",
+    "mesh_axis_size",
+    "PathRules",
+    "specs_for_tree",
+    "shard_tree",
+    "with_sharding_constraint",
+]

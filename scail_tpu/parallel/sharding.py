@@ -1,0 +1,74 @@
+"""Parameter/activation sharding rules.
+
+Replaces the reference's hand-written Megatron TP layers
+(sat/mpu/layers.py:70-485) and autograd collectives (sat/mpu/mappings.py):
+on TPU we annotate parameter and activation shardings and let XLA SPMD
+insert the all-gather/reduce-scatter/all-reduce.  Column-parallel ==
+output-dim sharded over 'model'; row-parallel == input-dim sharded over
+'model' (XLA emits the reduce the RowParallelLinear forward did).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class PathRules:
+    """Ordered (regex -> PartitionSpec) rules over '/'-joined pytree paths.
+
+    First match wins; no match => fully replicated.
+    """
+
+    def __init__(self, rules: List[Tuple[str, P]]):
+        self.rules = [(re.compile(pat), spec) for pat, spec in rules]
+
+    def spec_for(self, path: str, ndim: int) -> P:
+        for pat, spec in self.rules:
+            if pat.search(path):
+                if len(spec) > ndim:
+                    raise ValueError(
+                        f"rule {pat.pattern} spec {spec} has more dims than value ({ndim}) at {path}"
+                    )
+                return spec
+        return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def specs_for_tree(tree, rules: PathRules):
+    """PartitionSpec pytree matching `tree` via path rules."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: rules.spec_for(_path_str(path), v.ndim), tree
+    )
+
+
+def shard_tree(tree, rules: PathRules, mesh: Mesh):
+    """Device-put every leaf with its NamedSharding."""
+    specs = specs_for_tree(tree, rules)
+    return jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def with_sharding_constraint(x, spec: P, mesh: Mesh = None):
+    """Annotate intermediate activations; no-op outside jit/mesh context."""
+    try:
+        if mesh is not None:
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+        return jax.lax.with_sharding_constraint(x, spec)
+    except (ValueError, RuntimeError):
+        return x

@@ -1,0 +1,463 @@
+"""The SCAIL DiT, TPU-native.
+
+Functional reimplementation of the reference's 14B rectified-flow video DiT
+(`dit_video_crossattn_sc_xc.DiffusionTransformer`, dit:1209-1587 — "sc" =
+separate-channel ref/pose in-context tokens, "xc" = CLIP cross-attention).
+The SAT mixin/hook machinery (BaseModel/BaseMixin, sat/model/base_model.py)
+is replaced by one explicit forward; layers are stacked on a leading axis
+and executed with `lax.scan` so 40 layers trace/compile once.
+
+Architecture (citations into /root/reference):
+  * patch embed: conv3d(patch=(1,2,2)) of [ref ‖ video] + separate conv for
+    half-res pose tokens, fused sequence [ref | video | pose]
+    (ImagePatchEmbeddingMixin, dit:76-130).  Stride==kernel, so it is a
+    reshape+matmul here (MXU-friendly).
+  * 3-regime interleaved 3D RoPE (Rotary3DPositionEmbeddingMixin,
+    dit:382-757) — see scail_tpu.ops.rotary.
+  * AdaLN blocks with shared adaln projection + per-layer learned tables
+    (AdaLNMixin, dit:844-1051), full-width q/k RMSNorm (dit:895-956 with
+    YAML hidden_size_head == hidden_size), dual cross-attention over text
+    and CLIP tokens summed (dit:1107-1203).
+  * MLP: GELU(tanh) (dit:1295-1298), no gating for the released configs.
+  * final layer: AdaLN-modulated LN + linear + unpatchify of video tokens
+    only (FinalLayerMixin, dit:787-841, unpatchify dit:764-784).
+
+Multi-query attention (num_multi_query_heads>0) is not used by any SCAIL
+config and is not implemented.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from scail_tpu.models.common import (
+    dense,
+    dense_init,
+    gelu_exact,
+    gelu_tanh,
+    normal_init,
+    silu,
+    timestep_embedding,
+    xavier_uniform,
+)
+from scail_tpu.ops.attention import attention
+from scail_tpu.ops.norms import layer_norm, modulate, rms_norm
+from scail_tpu.ops.rotary import apply_rotary, build_scail_rope
+from scail_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+from scail_tpu.parallel.sharding import PathRules
+from scail_tpu.utils.registry import register
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    hidden_size: int = 5120
+    num_layers: int = 40
+    num_heads: int = 40
+    inner_hidden_size: int = 13824
+    in_channels: int = 20          # 16 latent + 4 mask channels
+    out_channels: int = 16
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_dim: int = 4096
+    time_freq_dim: int = 256
+    time_embed_dim: int = 5120
+    clip_dim: int = 1280
+    clip_tokens: int = 257
+    share_adaln: bool = True
+    use_i2v_clip: bool = True
+    qk_ln: bool = True
+    qk_ln_affine: bool = True
+    elementwise_affine: bool = False
+    layernorm_epsilon: float = 1e-6
+    interleaved_rope: bool = True
+    rope_theta: float = 10000.0
+    pose_w_offset: int = 120       # global_rope_W (dit:1571)
+    dtype: str = "bfloat16"
+    remat: bool = False            # rematerialize each layer in the scan
+    attn_impl: str = "auto"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def compute_dtype(self):
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "float16": jnp.float16}[self.dtype]
+
+    @staticmethod
+    def from_network_config(params: dict, **overrides) -> "DiTConfig":
+        """Map a reference `network_config.params` YAML block onto DiTConfig
+        (configs/video_model/Wan2.1-i2v-14Bsc-pose-xc-latent.yaml:22-88)."""
+        p = dict(params)
+        modules = p.get("modules", {}) or {}
+        adaln = dict(modules.get("adaln_layer_config", {}).get("params", {}) or {})
+        pos = dict(modules.get("pos_embed_config", {}).get("params", {}) or {})
+        kw = dict(
+            hidden_size=p.get("hidden_size", 5120),
+            num_layers=p.get("num_layers", 40),
+            num_heads=p.get("num_attention_heads", 40),
+            inner_hidden_size=p.get("inner_hidden_size") or p.get("hidden_size", 5120) * 4,
+            in_channels=p.get("in_channels", 20),
+            out_channels=p.get("out_channels", 16),
+            patch_size=tuple(p.get("patch_size", (1, 2, 2))),
+            text_dim=p.get("text_dim", 4096),
+            time_freq_dim=p.get("time_freq_dim") or p.get("hidden_size", 5120),
+            time_embed_dim=p.get("time_embed_dim") or p.get("hidden_size", 5120),
+            share_adaln=p.get("share_adaln", False),
+            use_i2v_clip=p.get("use_i2v_clip", False),
+            qk_ln=adaln.get("qk_ln", True),
+            qk_ln_affine=adaln.get("qk_ln_affine", True),
+            elementwise_affine=p.get("elementwise_affine", False),
+            layernorm_epsilon=float(p.get("layernorm_epsilon", 1e-6)),
+            interleaved_rope=pos.get("interleaved_rope", False),
+            dtype={"bf16": "bfloat16", "fp16": "float16", "fp32": "float32"}.get(
+                p.get("dtype", "bf16"), p.get("dtype", "bfloat16")
+            ),
+        )
+        assert p.get("num_multi_query_heads", 0) == 0, "MQA unsupported (unused by SCAIL)"
+        assert not p.get("use_SwiGLU", False), "SCAIL configs use GELU-tanh MLPs"
+        kw.update(overrides)
+        return DiTConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+def init_dit_params(key, cfg: DiTConfig):
+    h, inner, L = cfg.hidden_size, cfg.inner_hidden_size, cfg.num_layers
+    te, hd = cfg.time_embed_dim, cfg.head_dim
+    pt, ph, pw = cfg.patch_size
+    patch_in = cfg.in_channels * pt * ph * pw
+    patch_out = cfg.out_channels * pt * ph * pw
+    keys = iter(jax.random.split(key, 64))
+
+    def ln_affine(dim):
+        return {"scale": jnp.ones((dim,), jnp.float32),
+                "bias": jnp.zeros((dim,), jnp.float32)}
+
+    params = {
+        "patch_embed": {
+            "proj": {"kernel": xavier_uniform(next(keys), (patch_in, h)),
+                     "bias": jnp.zeros((h,), jnp.float32)},
+            "proj_pose": {"kernel": xavier_uniform(next(keys), (patch_in, h)),
+                          "bias": jnp.zeros((h,), jnp.float32)},
+        },
+        "time_embed": {
+            "fc1": dense_init(next(keys), cfg.time_freq_dim, te),
+            "fc2": dense_init(next(keys), te, te),
+        },
+        "text_embedding": {
+            "fc1": dense_init(next(keys), cfg.text_dim, h),
+            "fc2": dense_init(next(keys), h, h),
+        },
+        "final_layer": {
+            "linear": {"kernel": xavier_uniform(next(keys), (h, patch_out)),
+                       "bias": jnp.zeros((patch_out,), jnp.float32)},
+        },
+    }
+    if cfg.share_adaln:
+        params["adaln_projection"] = {"fc": dense_init(next(keys), te, 6 * h)}
+        # final-layer table: randn/sqrt(h) (dit:813-816)
+        params["final_layer"]["adaln"] = normal_init(next(keys), (2, h), std=h ** -0.5)
+    else:
+        params["final_layer"]["adaln_mlp"] = dense_init(next(keys), te, 2 * h, zero=True)
+    if cfg.use_i2v_clip:
+        params["clip_proj"] = {
+            "ln_in": ln_affine(cfg.clip_dim),
+            "fc1": dense_init(next(keys), cfg.clip_dim, cfg.clip_dim),
+            "fc2": dense_init(next(keys), cfg.clip_dim, h),
+            "ln_out": ln_affine(h),
+        }
+
+    lp = {
+        "qkv": dense_init(next(keys), h, 3 * h, prefix_shape=(L,)),
+        "attn_out": dense_init(next(keys), h, h, prefix_shape=(L,)),
+        "cross_q": dense_init(next(keys), h, h, prefix_shape=(L,)),
+        "cross_kv": dense_init(next(keys), h, 2 * h, prefix_shape=(L,)),
+        "cross_out": dense_init(next(keys), h, h, prefix_shape=(L,)),
+        "mlp_in": dense_init(next(keys), h, inner, prefix_shape=(L,)),
+        "mlp_out": dense_init(next(keys), inner, h, prefix_shape=(L,)),
+    }
+    if cfg.share_adaln:
+        # per-layer tables: randn/sqrt(h) (dit:888-893)
+        lp["adaln"] = normal_init(next(keys), (L, 6, h), std=h ** -0.5)
+    else:
+        lp["adaln_mlp"] = dense_init(next(keys), te, 6 * h, zero=True, prefix_shape=(L,))
+    if cfg.qk_ln:
+        ones = lambda: {"scale": jnp.ones((L, h), jnp.float32)}
+        lp["q_norm"], lp["k_norm"] = ones(), ones()
+        lp["cross_q_norm"], lp["cross_k_norm"] = ones(), ones()
+        if cfg.use_i2v_clip:
+            lp["clip_k_norm"] = ones()
+    if cfg.use_i2v_clip:
+        lp["clip_kv"] = dense_init(next(keys), h, 2 * h, prefix_shape=(L,))
+    params["layers"] = lp
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules: TP over 'model' (column = output dim, row = input dim),
+# replacing sat/mpu/layers.py Column/RowParallelLinear.
+# ---------------------------------------------------------------------------
+def dit_param_rules() -> PathRules:
+    return PathRules([
+        (r"layers/(qkv|cross_q|cross_kv|clip_kv|mlp_in)/kernel$", P(None, None, MODEL_AXIS)),
+        (r"layers/(qkv|cross_q|cross_kv|clip_kv|mlp_in)/bias$", P(None, MODEL_AXIS)),
+        (r"layers/(attn_out|cross_out|mlp_out)/kernel$", P(None, MODEL_AXIS, None)),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _patchify_tokens(x, proj, patch_size):
+    """(b, T, C, H, W) -> (b, T*(H/ph)*(W/pw), hidden) in (t h w) token order,
+    exactly the stride==kernel conv3d of ImagePatchEmbeddingMixin (dit:104-124)."""
+    pt, ph, pw = patch_size
+    assert pt == 1, "temporal patching >1 not used by SCAIL configs"
+    b, T, C, H, W = x.shape
+    x = x.reshape(b, T, C, H // ph, ph, W // pw, pw)
+    # token feature order must match torch conv weight flattening (c, kh, kw)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, T * (H // ph) * (W // pw), C * ph * pw)
+    return dense(proj, x)
+
+
+def _unpatchify(x, T, Hp, Wp, patch_size, out_channels):
+    """tokens (b, T*Hp*Wp, pt*ph*pw*c) -> (b, T, c, H, W); inverse of the
+    final linear's (o p q c) output layout (dit:764-784)."""
+    pt, ph, pw = patch_size
+    b = x.shape[0]
+    x = x.reshape(b, T, Hp, Wp, pt, ph, pw, out_channels)
+    # -> (b, T*pt, c, Hp*ph, Wp*pw)
+    x = x.transpose(0, 1, 4, 7, 2, 5, 3, 6)
+    return x.reshape(b, T * pt, out_channels, Hp * ph, Wp * pw)
+
+
+def _split_heads(x, n_heads):
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, -1)
+
+
+def _merge_heads(x):
+    b, s, n, d = x.shape
+    return x.reshape(b, s, n * d)
+
+
+def _rope_per_head(x, cos, sin, interleaved):
+    # x: (b, s, n, d); cos/sin: (s, d)
+    return apply_rotary(x, cos[None, :, None, :], sin[None, :, None, :], interleaved)
+
+
+def _shard_tokens(x, mesh):
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, None))
+    )
+
+
+def dit_forward(
+    params,
+    cfg: DiTConfig,
+    x,                      # (b, T, 16, H, W) noisy latent, model dtype
+    timesteps,              # (b,) c_noise (= sigma*1000 for RF)
+    context,                # (b, S_txt, text_dim) text encoder states
+    *,
+    ref_concat,             # (b, 1, 16, H, W) reference-image latent
+    concat_smpl_render,     # (b, T, 16, H/2, W/2) half-res pose latent
+    image_clip_features: Optional[jnp.ndarray] = None,  # (b, 257, 1280)
+    history_mask: Optional[jnp.ndarray] = None,          # (b, T, 4, H, W)
+    h_shift: int = 0,
+    w_shift: int = 0,       # sequence-parallel RoPE shifts (dit:1576-1585)
+    mesh=None,
+):
+    """One DiT forward; returns the velocity prediction (b, T, 16, H, W).
+
+    Mirrors DiffusionTransformer.forward (dit:1452-1587) + the transformer
+    stack (sat/model/transformer.py:572-746 under AdaLNMixin hooks).
+    """
+    cdtype = cfg.compute_dtype
+    eps = cfg.layernorm_epsilon
+    b, T, c_lat, H, W = x.shape
+    pt, ph, pw = cfg.patch_size
+    Hp, Wp = H // ph, W // pw
+    x = x.astype(cdtype)
+
+    # channel-concat masks (dit:1462-1503)
+    if history_mask is None:
+        history_mask = jnp.zeros((b, T, 4, H, W), cdtype)
+    x = jnp.concatenate([x, history_mask.astype(cdtype)], axis=2)
+    ref = jnp.concatenate(
+        [ref_concat.astype(cdtype), jnp.ones((b, 1, 4, H, W), cdtype)], axis=2
+    )
+    pose = jnp.concatenate(
+        [concat_smpl_render.astype(cdtype),
+         jnp.ones((b, T, 4, H // 2, W // 2), cdtype)], axis=2
+    )
+
+    # conditioning embeddings
+    context = dense(params["text_embedding"]["fc2"],
+                    gelu_tanh(dense(params["text_embedding"]["fc1"],
+                                    context.astype(cdtype))))
+    clip_tokens = None
+    if cfg.use_i2v_clip:
+        assert image_clip_features is not None
+        cp = params["clip_proj"]
+        y = layer_norm(image_clip_features.astype(cdtype),
+                       cp["ln_in"]["scale"], cp["ln_in"]["bias"], eps=1e-5)
+        y = gelu_exact(dense(cp["fc1"], y))
+        y = dense(cp["fc2"], y)
+        clip_tokens = layer_norm(y, cp["ln_out"]["scale"], cp["ln_out"]["bias"], eps=1e-5)
+
+    # time embedding (dit:1521-1524); fp32 through the MLP like the reference
+    # (linear layers created by sgm `linear` run in model dtype; we keep the
+    # sinusoid fp32 then cast)
+    t_emb = timestep_embedding(timesteps, cfg.time_freq_dim, dtype=cdtype)
+    emb = dense(params["time_embed"]["fc2"],
+                silu(dense(params["time_embed"]["fc1"], t_emb)))  # (b, te)
+
+    if cfg.share_adaln:
+        adaln_emb = dense(params["adaln_projection"]["fc"], silu(emb))  # (b, 6h)
+        adaln_emb = adaln_emb.reshape(b, 6, cfg.hidden_size)
+
+    # patch embed -> fused sequence [ref | video | pose] (dit:99-130)
+    vid_tokens = _patchify_tokens(
+        jnp.concatenate([ref, x], axis=1), params["patch_embed"]["proj"], cfg.patch_size
+    )  # (b, (T+1)*Hp*Wp, h)
+    pose_tokens = _patchify_tokens(pose, params["patch_embed"]["proj_pose"], cfg.patch_size)
+    hidden = jnp.concatenate([vid_tokens, pose_tokens], axis=1)
+    hidden = _shard_tokens(hidden, mesh)
+
+    ref_len = Hp * Wp
+    seq_len = T * Hp * Wp
+    pose_len = T * (Hp // 2) * (Wp // 2)
+    assert hidden.shape[1] == ref_len + seq_len + pose_len
+
+    rope = build_scail_rope(
+        cfg.head_dim, T, Hp, Wp,
+        h_shift=h_shift, w_shift=w_shift,
+        pose_w_offset=cfg.pose_w_offset,
+        theta=cfg.rope_theta, interleaved=cfg.interleaved_rope,
+    )
+
+    n_heads = cfg.num_heads
+
+    def layer_fn(hidden, lp):
+        # AdaLN shift/scale/gate (dit:1020-1028)
+        if cfg.share_adaln:
+            mod = (adaln_emb + lp["adaln"][None].astype(adaln_emb.dtype))
+        else:
+            mod = dense(lp["adaln_mlp"], silu(emb)).reshape(b, 6, cfg.hidden_size)
+        s_msa, sc_msa, g_msa = mod[:, 0:1], mod[:, 1:2], mod[:, 2:3]
+        s_mlp, sc_mlp, g_mlp = mod[:, 3:4], mod[:, 4:5], mod[:, 5:6]
+
+        # ---- self attention (dit:1030-1036, :1058-1105)
+        ai = layer_norm(hidden, eps=eps)
+        ai = modulate(ai, s_msa, sc_msa)
+        qkv = dense(lp["qkv"], ai)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if cfg.qk_ln:
+            # full-width RMS over the whole projection (see module docstring)
+            q = rms_norm(q, lp["q_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
+            k = rms_norm(k, lp["k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
+        q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
+        q = _apply_scail_rope(q, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
+        k = _apply_scail_rope(k, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
+        attn = attention(q, k, v, impl=cfg.attn_impl)
+        attn = dense(lp["attn_out"], _merge_heads(attn))
+        hidden = hidden + g_msa * attn
+        hidden = _shard_tokens(hidden, mesh)
+
+        # ---- dual cross attention, no adaln modulation/gate (dit:1038-1042)
+        ci = layer_norm(hidden, eps=eps)
+        cq = dense(lp["cross_q"], ci)
+        kv_txt = dense(lp["cross_kv"], context)
+        ck, cv = jnp.split(kv_txt, 2, axis=-1)
+        if cfg.qk_ln:
+            cq = rms_norm(cq, lp["cross_q_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
+            ck = rms_norm(ck, lp["cross_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
+        cqh = _split_heads(cq, n_heads)
+        cross = attention(cqh, _split_heads(ck, n_heads), _split_heads(cv, n_heads),
+                          impl=cfg.attn_impl)
+        if cfg.use_i2v_clip:
+            kv_clip = dense(lp["clip_kv"], clip_tokens)
+            pk, pv = jnp.split(kv_clip, 2, axis=-1)
+            if cfg.qk_ln:
+                pk = rms_norm(pk, lp["clip_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
+            cross = cross + attention(
+                cqh, _split_heads(pk, n_heads), _split_heads(pv, n_heads),
+                impl=cfg.attn_impl,
+            )
+        hidden = hidden + dense(lp["cross_out"], _merge_heads(cross))
+
+        # ---- MLP (dit:1044-1050)
+        mi = layer_norm(hidden, eps=eps)
+        mi = modulate(mi, s_mlp, sc_mlp)
+        mo = dense(lp["mlp_out"], gelu_tanh(dense(lp["mlp_in"], mi)))
+        hidden = hidden + g_mlp * mo
+        hidden = _shard_tokens(hidden, mesh)
+        return hidden, None
+
+    body = jax.checkpoint(layer_fn) if cfg.remat else layer_fn
+    layer_params = jax.tree.map(lambda p: p.astype(cdtype), params["layers"])
+    hidden, _ = jax.lax.scan(body, hidden, layer_params)
+
+    # ---- final layer (dit:818-835)
+    fl = params["final_layer"]
+    if cfg.share_adaln:
+        fmod = emb[:, None, :] + fl["adaln"][None].astype(emb.dtype)  # (b, 2, h)
+    else:
+        fmod = dense(fl["adaln_mlp"], silu(emb)).reshape(b, 2, cfg.hidden_size)
+    shift, scale = fmod[:, 0:1], fmod[:, 1:2]
+    out = modulate(layer_norm(hidden, eps=eps), shift, scale)
+    out = dense(fl["linear"], out)
+    out = out[:, ref_len : ref_len + seq_len]
+    return _unpatchify(out, T, Hp, Wp, cfg.patch_size, cfg.out_channels)
+
+
+def _apply_scail_rope(t, rope, ref_len, seq_len, pose_len, interleaved):
+    """Apply the per-segment rotary to (b, s, n, d) (dit:668-746)."""
+    tr = _rope_per_head(t[:, :ref_len], rope.cos[:ref_len], rope.sin[:ref_len], interleaved)
+    tv = _rope_per_head(
+        t[:, ref_len : ref_len + seq_len],
+        rope.cos[ref_len : ref_len + seq_len],
+        rope.sin[ref_len : ref_len + seq_len],
+        interleaved,
+    )
+    tp = _rope_per_head(
+        t[:, ref_len + seq_len :],
+        rope.cos[ref_len + seq_len :],
+        rope.sin[ref_len + seq_len :],
+        interleaved,
+    )
+    return jnp.concatenate([tr, tv, tp], axis=1)
+
+
+@register(alias="dit_video_crossattn_sc_xc.DiffusionTransformer")
+class DiffusionTransformer:
+    """Config-driven wrapper so `instantiate_from_config` on reference YAML
+    yields a (config, init, apply) bundle."""
+
+    def __init__(self, **network_params):
+        # strip reference-only plumbing keys
+        for k in ("transformer_args", "num_frames", "time_compressed_rate",
+                  "latent_width", "latent_height", "use_RMSNorm", "parallel_output"):
+            network_params.pop(k, None)
+        self.config = DiTConfig.from_network_config(network_params)
+
+    def init(self, key):
+        return init_dit_params(key, self.config)
+
+    def apply(self, params, *args, **kwargs):
+        return dit_forward(params, self.config, *args, **kwargs)
+
+    def param_rules(self) -> PathRules:
+        return dit_param_rules()

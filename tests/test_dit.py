@@ -1,0 +1,135 @@
+"""DiT parity vs the torch oracle, exercising the checkpoint converter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from scail_tpu.convert.torch_ckpt import dit_params_from_state_dict
+from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+from oracles import OracleDiT
+
+TINY = dict(hidden=32, heads=2, layers=2, inner=48, in_ch=20, out_ch=16,
+            patch=(1, 2, 2), text_dim=12, time_freq=16, clip_dim=10)
+
+
+def tiny_cfg(**over):
+    kw = dict(
+        hidden_size=TINY["hidden"], num_layers=TINY["layers"], num_heads=TINY["heads"],
+        inner_hidden_size=TINY["inner"], in_channels=TINY["in_ch"],
+        out_channels=TINY["out_ch"], patch_size=TINY["patch"],
+        text_dim=TINY["text_dim"], time_freq_dim=TINY["time_freq"],
+        time_embed_dim=TINY["hidden"], clip_dim=TINY["clip_dim"],
+        share_adaln=True, use_i2v_clip=True, qk_ln=True, qk_ln_affine=True,
+        elementwise_affine=False, interleaved_rope=True, dtype="float32",
+        attn_impl="xla",
+    )
+    kw.update(over)
+    return DiTConfig(**kw)
+
+
+def make_inputs(rng, b=1, T=2, H=8, W=8):
+    return dict(
+        x=rng.standard_normal((b, T, 16, H, W)).astype(np.float32),
+        timesteps=np.asarray([537.0] * b, np.float32),
+        context=rng.standard_normal((b, 7, TINY["text_dim"])).astype(np.float32),
+        ref_concat=rng.standard_normal((b, 1, 16, H, W)).astype(np.float32),
+        pose=rng.standard_normal((b, T, 16, H // 2, W // 2)).astype(np.float32),
+        clip=rng.standard_normal((b, 5, TINY["clip_dim"])).astype(np.float32),
+    )
+
+
+def test_dit_matches_torch_oracle(rng):
+    torch.manual_seed(0)
+    oracle = OracleDiT(**TINY)
+    cfg = tiny_cfg()
+
+    inp = make_inputs(rng)
+    with torch.no_grad():
+        want = oracle(
+            torch.tensor(inp["x"]), torch.tensor(inp["timesteps"]),
+            torch.tensor(inp["context"]), torch.tensor(inp["ref_concat"]),
+            torch.tensor(inp["pose"]), torch.tensor(inp["clip"]),
+        ).numpy()
+
+    sd = {"model.diffusion_model." + k: v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    params = dit_params_from_state_dict(sd, cfg)
+
+    got = np.asarray(
+        dit_forward(
+            params, cfg,
+            jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]), jnp.asarray(inp["context"]),
+            ref_concat=jnp.asarray(inp["ref_concat"]),
+            concat_smpl_render=jnp.asarray(inp["pose"]),
+            image_clip_features=jnp.asarray(inp["clip"]),
+        )
+    )
+    assert got.shape == want.shape == (1, 2, 16, 8, 8)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dit_random_init_runs_and_differentiable(rng):
+    cfg = tiny_cfg(remat=True)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    inp = make_inputs(rng)
+
+    def loss_fn(p):
+        out = dit_forward(
+            p, cfg, jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]),
+            jnp.asarray(inp["context"]), ref_concat=jnp.asarray(inp["ref_concat"]),
+            concat_smpl_render=jnp.asarray(inp["pose"]),
+            image_clip_features=jnp.asarray(inp["clip"]),
+        )
+        return jnp.mean(out ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dit_from_network_config_yaml_block():
+    params = dict(
+        time_freq_dim=256, time_embed_dim=5120, share_adaln=True,
+        elementwise_affine=False, num_layers=40, patch_size=[1, 2, 2],
+        in_channels=20, out_channels=16, text_dim=4096, hidden_size=5120,
+        inner_hidden_size=13824, num_attention_heads=40, use_SwiGLU=False,
+        layernorm_epsilon=1e-6, dtype="bf16", use_i2v_clip=True,
+        modules=dict(
+            pos_embed_config=dict(
+                target="dit_video_crossattn_sc_xc.Rotary3DPositionEmbeddingMixin",
+                params=dict(hidden_size_head=128, interleaved_rope=True),
+            ),
+            adaln_layer_config=dict(
+                target="dit_video_crossattn_sc_xc.AdaLNMixin",
+                params=dict(qk_ln=True, qk_ln_affine=True, hidden_size_head=5120),
+            ),
+        ),
+    )
+    cfg = DiTConfig.from_network_config(params)
+    assert cfg.hidden_size == 5120 and cfg.num_layers == 40
+    assert cfg.head_dim == 128 and cfg.interleaved_rope
+    assert cfg.compute_dtype == jnp.bfloat16
+
+
+def test_dit_sp_shift_matches_full(rng):
+    """Spatial sequence-parallel semantics (diffusion_video.py:495-552 +
+    dit:1576-1585): running the DiT on a W-half with w_shift must equal the
+    matching half of... NOT exactly (attention is global), but RoPE tables
+    must line up — verified in test_ops; here we just check shapes with
+    shifts."""
+    cfg = tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(1), cfg)
+    inp = make_inputs(rng, W=8)
+    out = dit_forward(
+        params, cfg, jnp.asarray(inp["x"][..., :4]), jnp.asarray(inp["timesteps"]),
+        jnp.asarray(inp["context"]), ref_concat=jnp.asarray(inp["ref_concat"][..., :4]),
+        concat_smpl_render=jnp.asarray(inp["pose"][..., :2]),
+        image_clip_features=jnp.asarray(inp["clip"]),
+        w_shift=2,
+    )
+    assert out.shape == (1, 2, 16, 8, 4)

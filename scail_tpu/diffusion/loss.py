@@ -1,0 +1,115 @@
+"""Training losses (reference: sgm/modules/diffusionmodules/loss.py).
+
+`RFLoss` (loss.py:659-763) is the SCAIL objective: sample
+sigma ~ LogisticNormal, optionally resolution-shift it, noise only the
+non-history frames, target = (noise - input) (rectified-flow velocity),
+L2 masked to generated frames.
+
+The reference broadcasts noise/sigma over the data-broadcast group
+(loss.py:680-686); here all replicas derive them from the same PRNG key so
+no collective is needed.  Spatial SP chunking (loss.py:688-712) is handled
+by sharding the latent over the 'seq' mesh axis instead of manual chunking.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from scail_tpu.utils.misc import append_dims
+from scail_tpu.utils.registry import instantiate_from_config, register
+
+
+@register(alias="sgm.modules.diffusionmodules.loss.StandardDiffusionLoss")
+class StandardDiffusionLoss:
+    def __init__(self, sigma_sampler_config=None, type: str = "l2",
+                 offset_noise_level: float = 0.0, batch2model_keys=None, **kw):
+        self.sigma_sampler = (
+            instantiate_from_config(sigma_sampler_config)
+            if sigma_sampler_config is not None else None
+        )
+        assert type in ("l2", "l1")
+        self.type = type
+        self.offset_noise_level = offset_noise_level
+
+    def get_loss(self, model_output, target, w):
+        b = target.shape[0]
+        err = model_output - target
+        if self.type == "l2":
+            per = (w * err ** 2).reshape(b, -1)
+        else:
+            per = (w * jnp.abs(err)).reshape(b, -1)
+        return jnp.mean(per, axis=1)
+
+    def __call__(self, key, network_fn, denoiser, cond: Dict, input, **model_kwargs):
+        k_sig, k_noise = jax.random.split(key)
+        sigma = self.sigma_sampler(k_sig, input.shape[0])
+        noise = jax.random.normal(k_noise, input.shape, jnp.float32)
+        noised = input.astype(jnp.float32) + noise * append_dims(sigma, input.ndim)
+        out = denoiser(network_fn, noised, sigma, cond, **model_kwargs)
+        w = append_dims(denoiser.w(sigma), input.ndim)
+        return self.get_loss(out, input.astype(jnp.float32), w)
+
+
+def _time_shift_traced(mu: float, t):
+    """Traced version of sampling.py:913-918 ('normal' mode)."""
+    return math.exp(mu) / (math.exp(mu) + 1.0 / t - 1.0)
+
+
+@register(alias="sgm.modules.diffusionmodules.loss.RFLoss")
+class RFLoss(StandardDiffusionLoss):
+    def __init__(self, schedule_shift: bool = False, **kw):
+        super().__init__(**kw)
+        self.schedule_shift = schedule_shift
+
+    def __call__(
+        self,
+        key,
+        network_fn,
+        denoiser,
+        cond: Dict,
+        input,                       # (b, T, C, H, W) latent
+        *,
+        history_mask: Optional[jnp.ndarray] = None,  # (b, T, 4, H, W)
+        patch_size=(1, 2, 2),
+        **model_kwargs,
+    ):
+        b = input.shape[0]
+        k_sig, k_noise = jax.random.split(key)
+        sigma = self.sigma_sampler(k_sig, b)
+
+        if self.schedule_shift:
+            # resolution-dependent shift (loss.py:674-678)
+            image_seq_len = (
+                input.shape[-1] * input.shape[-2] // patch_size[-1] // patch_size[-2]
+            )
+            mu = float(
+                (1.15 - 0.5) / (4096 - 256) * image_seq_len
+                + 0.5 - (1.15 - 0.5) / (4096 - 256) * 256
+            )
+            sigma = _time_shift_traced(mu, sigma)
+
+        noise = jax.random.normal(k_noise, input.shape, jnp.float32)
+
+        if history_mask is None:
+            hist = jnp.zeros_like(input[:, :, :1])
+        else:
+            hist = history_mask[:, :, :1].astype(jnp.float32)
+        hist = jnp.broadcast_to(hist, input.shape)  # (loss.py:735-737)
+
+        # history frames stay clean (loss.py:739-744)
+        noise_masked = noise * (1.0 - hist)
+        sig_b = append_dims(sigma, input.ndim)
+        noised = input.astype(jnp.float32) * (1.0 - sig_b) + noise_masked * sig_b
+
+        out = denoiser(
+            network_fn, noised, sigma, cond,
+            history_mask=history_mask, **model_kwargs,
+        )
+
+        loss_mask = 1.0 - hist
+        # RF velocity target (loss.py:746-749)
+        return self.get_loss(out, noise - input.astype(jnp.float32), loss_mask)

@@ -1,0 +1,127 @@
+"""Benchmark: DiT denoise step at the full SCAIL 512p workload.
+
+Runs the flagship DiT architecture at the real sampling geometry (latent
+21x64x112, fused sequence 48,832 tokens, CFG batch 2, bf16, Pallas flash
+attention) on whatever accelerator is available and prints ONE JSON line:
+
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The upstream repo publishes no wall-clock numbers (BASELINE.md), so
+`vs_baseline` reports model FLOPs utilisation (measured TFLOP/s divided by
+peak bf16 TFLOP/s of the chip) -- a hardware-portable figure of merit.
+
+The single available chip (v5e, 16GB) cannot hold 14B bf16 params, so the
+measured model is the 1.3B config (configs/video_model/scail_1p3b.yaml) at
+the identical sequence geometry; `extras` reports the derived sec/clip
+(50 Euler steps) for that model.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flops_per_forward(cfg, batch, S, s_txt, s_clip, T, Hp, Wp):
+    h, inner, L = cfg.hidden_size, cfg.inner_hidden_size, cfg.num_layers
+    per_layer = (
+        2 * S * (3 * h * h)            # qkv
+        + 2 * S * h * h                # attn out
+        + 4 * S * S * h                # self attention (qk + pv)
+        + 2 * S * h * h                # cross q
+        + 2 * s_txt * 2 * h * h        # text kv
+        + 2 * s_clip * 2 * h * h       # clip kv
+        + 4 * S * (s_txt + s_clip) * h # cross attention x2 streams
+        + 2 * S * h * h                # cross out
+        + 2 * S * 2 * h * inner        # mlp
+    )
+    patch = 2 * S * (20 * 4) * h + 2 * (T * Hp * Wp) * h * (4 * 16)
+    return batch * (L * per_layer + patch)
+
+
+def main():
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+
+    if on_tpu:
+        from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+        cfg = DiTConfig(
+            hidden_size=1536, num_layers=30, num_heads=12, inner_hidden_size=8960,
+            time_embed_dim=1536, share_adaln=True, use_i2v_clip=True,
+            dtype="bfloat16", attn_impl="pallas",
+        )
+        b, T, H, W = 1, 21, 64, 112          # 512x896, 81 frames
+        s_txt, s_clip = 512, 257
+        peak_tflops = 197.0                   # v5e bf16 peak
+        label = "dit_1p3b_step_ms_512p"
+    else:
+        # CPU smoke fallback so the bench always emits a line
+        from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+        cfg = DiTConfig(
+            hidden_size=128, num_layers=2, num_heads=2, inner_hidden_size=256,
+            time_embed_dim=128, text_dim=64, clip_dim=32, share_adaln=True,
+            use_i2v_clip=True, dtype="float32", attn_impl="xla",
+        )
+        b, T, H, W = 1, 2, 8, 8
+        s_txt, s_clip = 16, 9
+        peak_tflops = 1.0
+        label = "dit_smoke_step_ms"
+
+    key = jax.random.PRNGKey(0)
+    params = init_dit_params(key, cfg)
+    params = jax.tree.map(lambda p: p.astype(cfg.compute_dtype), params)
+
+    ks = jax.random.split(key, 8)
+    cb = 2 * b  # CFG doubled batch
+    x = jax.random.normal(ks[0], (cb, T, 16, H, W), cfg.compute_dtype)
+    tsteps = jnp.full((cb,), 500.0, jnp.float32)
+    context = jax.random.normal(ks[1], (cb, s_txt, cfg.text_dim), cfg.compute_dtype)
+    ref = jax.random.normal(ks[2], (cb, 1, 16, H, W), cfg.compute_dtype)
+    pose = jax.random.normal(ks[3], (cb, T, 16, H // 2, W // 2), cfg.compute_dtype)
+    clip_f = jax.random.normal(ks[4], (cb, s_clip, cfg.clip_dim), cfg.compute_dtype)
+
+    @jax.jit
+    def step(params, x, tsteps, context, ref, pose, clip_f):
+        return dit_forward(
+            params, cfg, x, tsteps, context,
+            ref_concat=ref, concat_smpl_render=pose, image_clip_features=clip_f,
+        )
+
+    # compile + warmup; a host transfer (device_get) is the only reliable
+    # completion barrier through the tunneled backend
+    _ = np.asarray(step(params, x, tsteps, context, ref, pose, clip_f)[0, 0, 0, 0, :2])
+
+    n_iter = 6 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(params, x, tsteps, context, ref, pose, clip_f)
+    _ = np.asarray(out[0, 0, 0, 0, :2])
+    step_ms = (time.perf_counter() - t0) / n_iter * 1000.0
+
+    Hp, Wp = H // 2, W // 2
+    S = Hp * Wp + T * Hp * Wp + T * (Hp // 2) * (Wp // 2)
+    flops = _flops_per_forward(cfg, cb, S, s_txt, s_clip, T, Hp, Wp)
+    tflops = flops / (step_ms / 1000.0) / 1e12
+    mfu = tflops / peak_tflops
+
+    print(json.dumps({
+        "metric": label,
+        "value": round(step_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(mfu, 4),
+        "extras": {
+            "seq_tokens": S,
+            "achieved_tflops": round(tflops, 1),
+            "mfu_vs_peak": round(mfu, 4),
+            "derived_sec_per_clip_50step": round(step_ms * 50 / 1000.0, 2),
+            "device": str(dev),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

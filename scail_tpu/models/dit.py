@@ -111,6 +111,7 @@ class DiTConfig:
             time_embed_dim=p.get("time_embed_dim") or p.get("hidden_size", 5120),
             share_adaln=p.get("share_adaln", False),
             use_i2v_clip=p.get("use_i2v_clip", False),
+            clip_dim=p.get("clip_dim", 1280),
             qk_ln=adaln.get("qk_ln", True),
             qk_ln_affine=adaln.get("qk_ln_affine", True),
             elementwise_affine=p.get("elementwise_affine", False),

@@ -38,14 +38,24 @@ def register(name: str = None, alias=()):
 
 
 def get_obj_from_str(string: str, reload: bool = False) -> Any:
-    string = _ALIASES.get(string, string)
-    if string in _REGISTRY:
-        return _REGISTRY[string]
-    module, cls = string.rsplit(".", 1)
-    mod = importlib.import_module(module)
-    if reload:
-        importlib.reload(mod)
-    return getattr(mod, cls)
+    key = _ALIASES.get(string, string)
+    if key in _REGISTRY:
+        return _REGISTRY[key]
+    try:
+        module, cls = key.rsplit(".", 1)
+        mod = importlib.import_module(module)
+        if reload:
+            importlib.reload(mod)
+        return getattr(mod, cls)
+    except (ImportError, AttributeError):
+        # reference-path aliases register lazily when their scail_tpu module
+        # imports; load them all and retry once
+        ensure_imports()
+        key = _ALIASES.get(string, string)
+        if key in _REGISTRY:
+            return _REGISTRY[key]
+        module, cls = key.rsplit(".", 1)
+        return getattr(importlib.import_module(module), cls)
 
 
 def instantiate_from_config(config, **extra_kwargs):

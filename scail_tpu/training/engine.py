@@ -1,0 +1,196 @@
+"""Training engine (reference: sat/training/deepspeed_training.py).
+
+`training_main` -> Trainer.fit: the grad-accumulation-aware train loop with
+NaN-skip (:589-591), metric reduction (:569-588), periodic logging /
+checkpointing / evaluation (:431-540), and checkpoint-based resume via the
+`latest` tracker (:98-123).  DeepSpeed+ZeRO is replaced by jit-sharded
+optimizer state over the mesh (optimizer state sharded like params; data
+parallelism via batch sharding -- XLA emits the grad reduce the DeepSpeed
+allreduce did).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scail_tpu.training.checkpoint import load_checkpoint, read_latest, save_checkpoint
+from scail_tpu.training.ema_adam import fused_ema_adam, swap_in_ema
+from scail_tpu.training.lr_schedules import annealing_lr
+from scail_tpu.utils.logging import print_rank0
+from scail_tpu.utils.timers import Timers
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    train_iters: int = 1000
+    lr: float = 1e-4
+    warmup_iters: int = 100
+    lr_decay_style: str = "cosine"
+    lr_decay_ratio: float = 0.1
+    weight_decay: float = 0.01
+    clip_grad: float = 1.0
+    grad_accum: int = 1
+    ema_decay: float = 0.9999
+    log_interval: int = 10
+    save_interval: int = 500
+    eval_interval: int = 500
+    eval_iters: int = 8
+    exit_interval: Optional[int] = None     # clean coordinated exit (:529-535)
+    save_dir: Optional[str] = None
+    seed: int = 1234
+    skip_nan: bool = True
+
+
+class Trainer:
+    """Owns optimizer/step state around a loss function
+    loss_fn(params, key, batch) -> scalar (mean over batch)."""
+
+    def __init__(self, params, loss_fn: Callable, config: TrainConfig,
+                 model_config: Optional[Dict] = None, param_shardings=None):
+        self.config = config
+        self.model_config = model_config
+        self.schedule = annealing_lr(
+            config.lr, config.warmup_iters, config.train_iters,
+            config.lr_decay_style, config.lr_decay_ratio,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.clip_grad),
+            fused_ema_adam(self.schedule, weight_decay=config.weight_decay,
+                           ema_decay=config.ema_decay),
+        )
+        self.state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "step": jnp.zeros([], jnp.int32),
+            "rng": jax.random.PRNGKey(config.seed),
+            "skipped": jnp.zeros([], jnp.int32),
+        }
+        self.loss_fn = loss_fn
+        self.timers = Timers()
+        self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _train_step(self, state, batch):
+        """One optimizer step over `grad_accum` microbatches, with NaN skip
+        (deepspeed_training.py:542-634)."""
+        cfg = self.config
+        rng, step_key = jax.random.split(state["rng"])
+
+        def micro(i, acc):
+            gsum, lsum = acc
+            key = jax.random.fold_in(step_key, i)
+            mb = jax.tree.map(
+                lambda x: x[i] if (hasattr(x, "ndim") and x.ndim > 0 and
+                                   x.shape[0] == cfg.grad_accum) else x,
+                batch,
+            ) if cfg.grad_accum > 1 else batch
+            loss, grads = jax.value_and_grad(self.loss_fn)(state["params"], key, mb)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return gsum, lsum + loss
+
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                             state["params"])
+        if cfg.grad_accum > 1:
+            grads, loss = jax.lax.fori_loop(0, cfg.grad_accum, micro, (zeros, 0.0))
+        else:
+            grads, loss = micro(0, (zeros, 0.0))
+        grads = jax.tree.map(lambda g: g / cfg.grad_accum, grads)
+        loss = loss / cfg.grad_accum
+
+        finite = jnp.isfinite(loss)
+        gfinite = jax.tree.reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads, finite)
+        ok = gfinite if cfg.skip_nan else jnp.asarray(True)
+
+        updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+
+        # skip the whole update on NaN/Inf (:589-591)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state["params"])
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt, state["opt_state"])
+
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "rng": rng,
+            "skipped": state["skipped"] + jnp.where(ok, 0, 1),
+        }, {"loss": loss, "ok": ok, "grad_norm": optax.global_norm(grads)}
+
+    # ------------------------------------------------------------------
+    def fit(self, data_iter: Iterator[Dict[str, Any]],
+            eval_data_iter: Optional[Iterator] = None,
+            eval_loss_fn: Optional[Callable] = None):
+        cfg = self.config
+        start = int(self.state["step"])
+        losses = []
+        t_last = time.perf_counter()
+        for it in range(start, cfg.train_iters):
+            self.timers("data loader").start()
+            batch = next(data_iter)
+            self.timers("data loader").stop()
+            self.timers("train_step").start()
+            self.state, metrics = self._jit_step(self.state, batch)
+            self.timers("train_step").stop()
+            losses.append(metrics["loss"])
+
+            step = it + 1
+            if step % cfg.log_interval == 0:
+                lvals = np.asarray(jax.device_get(jnp.stack(losses)))
+                elapsed = time.perf_counter() - t_last
+                lr = float(self.schedule(step))
+                print_rank0(
+                    f"iter {step}/{cfg.train_iters} | loss {lvals.mean():.4f} | "
+                    f"lr {lr:.3e} | grad_norm {float(metrics['grad_norm']):.3f} | "
+                    f"{cfg.log_interval / elapsed:.2f} it/s | "
+                    f"skipped {int(self.state['skipped'])}"
+                )
+                losses, t_last = [], time.perf_counter()
+            if cfg.save_dir and step % cfg.save_interval == 0:
+                self.save(step)
+            if (eval_data_iter is not None and eval_loss_fn is not None
+                    and step % cfg.eval_interval == 0):
+                self.evaluate(eval_data_iter, eval_loss_fn)
+            if cfg.exit_interval and step % cfg.exit_interval == 0:
+                print_rank0(f"exit-interval hit at iter {step}; clean exit")
+                break
+        if cfg.save_dir:
+            self.save(int(self.state["step"]))
+        return self.state
+
+    def evaluate(self, data_iter, eval_loss_fn):
+        """(deepspeed_training.py:659-744)"""
+        vals = []
+        for _ in range(self.config.eval_iters):
+            batch = next(data_iter)
+            key = jax.random.fold_in(self.state["rng"], len(vals) + 977)
+            vals.append(float(eval_loss_fn(self.state["params"], key, batch)))
+        loss = float(np.mean(vals))
+        print_rank0(f"eval loss {loss:.4f}")
+        return loss
+
+    # ------------------------------------------------------------------
+    def save(self, iteration: int):
+        ema_params, _ = swap_in_ema(self.state["params"], self.state["opt_state"][1])
+        save_checkpoint(self.config.save_dir, iteration, self.state,
+                        model_config=self.model_config, ema_params=ema_params)
+        print_rank0(f"saved checkpoint iter {iteration} -> {self.config.save_dir}")
+
+    def resume(self, save_dir: Optional[str] = None):
+        """(deepspeed_training.py:98-123): continue from `latest`."""
+        d = save_dir or self.config.save_dir
+        if d is None or read_latest(d) is None:
+            print_rank0("no checkpoint to resume from; starting fresh")
+            return 0
+        self.state, it = load_checkpoint(d, self.state)
+        print_rank0(f"resumed from iter {it}")
+        return it

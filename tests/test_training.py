@@ -1,0 +1,132 @@
+"""Training engine: EMA-Adam parity vs torch, AnnealingLR, full train loop
+with NaN-skip + checkpoint save/resume round trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+
+from scail_tpu.training.ema_adam import EmaAdamState, fused_ema_adam, swap_in_ema
+from scail_tpu.training.engine import TrainConfig, Trainer
+from scail_tpu.training.lr_schedules import annealing_lr
+
+
+def test_ema_adam_matches_torch_adamw():
+    torch.manual_seed(0)
+    w0 = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)
+    tp = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.AdamW([tp], lr=1e-2, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=0.01)
+
+    tx = fused_ema_adam(1e-2, weight_decay=0.01, ema_decay=0.99)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+
+    for i in range(5):
+        g = np.random.default_rng(i + 1).standard_normal((4, 3)).astype(np.float32)
+        tp.grad = torch.tensor(g.copy())
+        opt.step()
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # shadow is an EMA of the updated params
+    ema, orig = swap_in_ema(params, state)
+    assert ema["w"].shape == (4, 3)
+    assert not np.allclose(np.asarray(ema["w"]), np.asarray(params["w"]))
+
+
+def test_annealing_lr_shapes():
+    sch = annealing_lr(1e-3, warmup_iter=10, num_iters=100, decay_style="cosine",
+                       decay_ratio=0.1)
+    assert float(sch(0)) == 0.0
+    np.testing.assert_allclose(float(sch(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sch(10)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sch(100)), 1e-4, rtol=1e-4)  # floor
+    lin = annealing_lr(1e-3, 0, 100, "linear", 0.0)
+    np.testing.assert_allclose(float(lin(50)), 5e-4, rtol=1e-5)
+
+
+def _quadratic_loss(params, key, batch):
+    return jnp.mean((params["w"] @ batch["x"] - batch["y"]) ** 2)
+
+
+def _data(n=2):
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((3, 4)).astype(np.float32)),
+        "y": jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32)),
+    }
+    while True:
+        yield batch
+
+
+def test_trainer_reduces_loss_and_saves(tmp_path):
+    params = {"w": jnp.zeros((2, 3))}
+    cfg = TrainConfig(train_iters=30, lr=5e-2, warmup_iters=2, log_interval=10,
+                      save_interval=15, save_dir=str(tmp_path / "ckpt"),
+                      grad_accum=1, clip_grad=10.0)
+    tr = Trainer(params, _quadratic_loss, cfg, model_config={"toy": True})
+    it = iter(_data())
+    first = float(_quadratic_loss(params, None, next(iter(_data()))))
+    tr.fit(it)
+    last = float(_quadratic_loss(tr.state["params"], None, next(iter(_data()))))
+    assert last < first
+    assert os.path.exists(tmp_path / "ckpt" / "latest")
+    assert (tmp_path / "ckpt" / "model_config.json").exists()
+
+    # resume round trip continues at saved step
+    tr2 = Trainer({"w": jnp.zeros((2, 3))}, _quadratic_loss, cfg)
+    it_resumed = tr2.resume(str(tmp_path / "ckpt"))
+    assert it_resumed == 30
+    np.testing.assert_allclose(np.asarray(tr2.state["params"]["w"]),
+                               np.asarray(tr.state["params"]["w"]))
+    # EMA double-save exists
+    assert (tmp_path / "ckpt" / "30" / "ema").exists()
+
+
+def test_trainer_nan_skip():
+    params = {"w": jnp.ones((2,))}
+
+    calls = {"n": 0}
+
+    def loss(params, key, batch):
+        # every second call yields NaN
+        return jnp.sum(params["w"]) * batch["scale"]
+
+    cfg = TrainConfig(train_iters=4, lr=1e-2, warmup_iters=0, log_interval=100,
+                      skip_nan=True)
+    tr = Trainer(params, loss, cfg)
+
+    def gen():
+        i = 0
+        while True:
+            yield {"scale": jnp.asarray(np.nan if i % 2 == 0 else 1.0, jnp.float32)}
+            i += 1
+
+    tr.fit(gen())
+    assert int(tr.state["skipped"]) == 2
+    assert np.all(np.isfinite(np.asarray(tr.state["params"]["w"])))
+
+
+def test_trainer_grad_accum():
+    params = {"w": jnp.zeros((2, 3))}
+    cfg = TrainConfig(train_iters=5, lr=1e-2, warmup_iters=0, grad_accum=2,
+                      log_interval=100)
+    tr = Trainer(params, _quadratic_loss, cfg)
+
+    def gen():
+        rng = np.random.default_rng(0)
+        while True:
+            yield {
+                "x": jnp.asarray(rng.standard_normal((2, 3, 4)).astype(np.float32)),
+                "y": jnp.asarray(rng.standard_normal((2, 2, 4)).astype(np.float32)),
+            }
+
+    tr.fit(gen())
+    assert int(tr.state["step"]) == 5

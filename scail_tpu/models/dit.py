@@ -372,7 +372,13 @@ def dit_forward(
         q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
         q = _apply_scail_rope(q, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
         k = _apply_scail_rope(k, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
-        attn = attention(q, k, v, impl=cfg.attn_impl)
+        if cfg.attn_impl == "ulysses" and mesh is not None:
+            # sequence-parallel full attention (sat/mpu/ulysses_attn_layer.py)
+            from scail_tpu.parallel.ulysses import ulysses_attention
+
+            attn = ulysses_attention(q, k, v, mesh, impl="auto")
+        else:
+            attn = attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))
         hidden = hidden + g_msa * attn
         hidden = _shard_tokens(hidden, mesh)
@@ -386,8 +392,11 @@ def dit_forward(
             cq = rms_norm(cq, lp["cross_q_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
             ck = rms_norm(ck, lp["cross_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
         cqh = _split_heads(cq, n_heads)
+        # cross attention has short replicated KV: plain SPMD attention even
+        # under Ulysses (the reference also keeps cross-attn un-Ulyssed)
+        cross_impl = "auto" if cfg.attn_impl == "ulysses" else cfg.attn_impl
         cross = attention(cqh, _split_heads(ck, n_heads), _split_heads(cv, n_heads),
-                          impl=cfg.attn_impl)
+                          impl=cross_impl)
         if cfg.use_i2v_clip:
             kv_clip = dense(lp["clip_kv"], clip_tokens)
             pk, pv = jnp.split(kv_clip, 2, axis=-1)
@@ -395,7 +404,7 @@ def dit_forward(
                 pk = rms_norm(pk, lp["clip_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
             cross = cross + attention(
                 cqh, _split_heads(pk, n_heads), _split_heads(pv, n_heads),
-                impl=cfg.attn_impl,
+                impl=cross_impl,
             )
         hidden = hidden + dense(lp["cross_out"], _merge_heads(cross))
 

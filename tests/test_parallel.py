@@ -1,0 +1,112 @@
+"""Multi-device tests on the 8-fake-CPU mesh: Ulysses attention parity,
+sharded DiT forward parity vs single-device, sharded sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from scail_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, MeshSpec, make_mesh
+from scail_tpu.parallel.ulysses import ulysses_attention
+from scail_tpu.ops.attention import attention
+
+
+def test_ulysses_matches_dense_attention(rng):
+    mesh = make_mesh(MeshSpec(data=1, seq=4, model=2))
+    b, S, n, d = 2, 64, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, S, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, S, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, S, n, d)).astype(np.float32))
+
+    want = np.asarray(attention(q, k, v, impl="xla"))
+
+    spec = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, MODEL_AXIS, None))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+
+    @jax.jit
+    def run(q, k, v):
+        return ulysses_attention(q, k, v, mesh, impl="xla")
+
+    got = np.asarray(run(qs, ks, vs))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_seq1_passthrough(rng):
+    mesh = make_mesh(MeshSpec(data=8, seq=1, model=1))
+    q = jnp.asarray(rng.standard_normal((8, 16, 4, 8)).astype(np.float32))
+    out = ulysses_attention(q, q, q, mesh, impl="xla")
+    want = attention(q, q, q, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+
+def test_sharded_dit_forward_matches_single_device(rng):
+    """TP+SP-sharded DiT forward == replicated forward (XLA SPMD inserts the
+    collectives the reference's Column/RowParallel + spatial chunking did)."""
+    from scail_tpu.models.dit import DiTConfig, dit_forward, dit_param_rules, init_dit_params
+    from scail_tpu.parallel.sharding import shard_tree
+
+    cfg = DiTConfig(
+        hidden_size=32, num_layers=2, num_heads=2, inner_hidden_size=48,
+        time_embed_dim=32, text_dim=12, clip_dim=10, share_adaln=True,
+        use_i2v_clip=True, dtype="float32", attn_impl="xla",
+    )
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    b, T, H, W = 2, 2, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, T, 16, H, W)).astype(np.float32))
+    ts = jnp.asarray([100.0, 200.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 7, 12)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((b, 1, 16, H, W)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((b, T, 16, H // 2, W // 2)).astype(np.float32))
+    clip = jnp.asarray(rng.standard_normal((b, 5, 10)).astype(np.float32))
+
+    want = np.asarray(dit_forward(
+        params, cfg, x, ts, ctx, ref_concat=ref, concat_smpl_render=pose,
+        image_clip_features=clip))
+
+    mesh = make_mesh(MeshSpec(data=2, seq=2, model=2))
+    sp = shard_tree(params, dit_param_rules(), mesh)
+    xin = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None, None, None, SEQ_AXIS)))
+
+    @jax.jit
+    def run(p, x):
+        return dit_forward(p, cfg, x, ts, ctx, ref_concat=ref,
+                           concat_smpl_render=pose, image_clip_features=clip,
+                           mesh=mesh)
+
+    got = np.asarray(run(sp, xin))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_dit_ulysses_impl_matches(rng):
+    """attn_impl='ulysses' inside the DiT == dense attention result."""
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+    base = dict(
+        hidden_size=32, num_layers=2, num_heads=4, inner_hidden_size=48,
+        time_embed_dim=32, text_dim=12, clip_dim=10, share_adaln=True,
+        use_i2v_clip=True, dtype="float32",
+    )
+    cfg_dense = DiTConfig(**base, attn_impl="xla")
+    cfg_uly = DiTConfig(**base, attn_impl="ulysses")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_dense)
+
+    b, T, H, W = 1, 2, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, T, 16, H, W)).astype(np.float32))
+    ts = jnp.asarray([100.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 7, 12)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((b, 1, 16, H, W)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((b, T, 16, H // 2, W // 2)).astype(np.float32))
+    clip = jnp.asarray(rng.standard_normal((b, 5, 10)).astype(np.float32))
+
+    kw = dict(ref_concat=ref, concat_smpl_render=pose, image_clip_features=clip)
+    want = np.asarray(dit_forward(params, cfg_dense, x, ts, ctx, **kw))
+
+    mesh = make_mesh(MeshSpec(data=1, seq=2, model=2), devices=jax.devices()[:4])
+
+    @jax.jit
+    def run(p, x):
+        return dit_forward(p, cfg_uly, x, ts, ctx, mesh=mesh, **kw)
+
+    got = np.asarray(run(params, x))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

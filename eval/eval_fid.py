@@ -1,0 +1,39 @@
+"""FID driver (reference: eval/eval_fid.py): `ref` builds stats npz from a
+directory of images; `calc` scores generated images against stats."""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _load_images(path):
+    from PIL import Image
+
+    names = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    return np.stack([np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+                     for n in names])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["ref", "calc"])
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--stats", required=True, help="ref-stats npz path")
+    ap.add_argument("--detector", required=True, help="inception torchscript path")
+    args = ap.parse_args()
+
+    from scail_tpu.evals.fid import (InceptionFeatureExtractor, fid_from_stats,
+                                     save_ref_stats)
+
+    feats = InceptionFeatureExtractor(args.detector)(_load_images(args.images))
+    if args.mode == "ref":
+        save_ref_stats(feats, args.stats)
+        print(f"saved stats -> {args.stats}")
+    else:
+        print(f"FID: {fid_from_stats(feats, args.stats):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,26 @@ import numpy as np
 
 def dense(params, x):
     """x @ kernel + bias.  kernel: (in, out); computed in x.dtype with f32
-    accumulation on the MXU."""
-    y = jnp.dot(x, params["kernel"].astype(x.dtype))
-    if "bias" in params and params["bias"] is not None:
-        y = y + params["bias"].astype(x.dtype)
+    accumulation on the MXU.
+
+    If the param dict carries LoRA factors ('lora_a' (in, r), 'lora_b'
+    (r, out), scalar 'lora_scale'), the low-rank delta is added -- the
+    TPU-native form of the reference's LoraLinear (sat/model/finetune/
+    lora2.py:137-220).  Quantized kernels ('qweight'+'scale') dispatch to
+    the W8A16 path.
+    """
+    if "qweight" in params or "qweight4" in params:
+        from scail_tpu.ops.quant import dense_quantized
+
+        y = dense_quantized(params, x)
+    else:
+        y = jnp.dot(x, params["kernel"].astype(x.dtype))
+        if "bias" in params and params["bias"] is not None:
+            y = y + params["bias"].astype(x.dtype)
+    if "lora_a" in params:
+        delta = jnp.dot(jnp.dot(x, params["lora_a"].astype(x.dtype)),
+                        params["lora_b"].astype(x.dtype))
+        y = y + params["lora_scale"].astype(x.dtype) * delta
     return y
 
 

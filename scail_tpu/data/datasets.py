@@ -1,0 +1,224 @@
+"""Dataset plumbing (reference: sat/data_utils/configure_data.py,
+datasets.py, samplers.py, data_video.py).
+
+Map-style datasets + weighted/alternating mixtures + a distributed batch
+sampler with deterministic `start_iter` resume, feeding numpy batches to
+the jitted train step through a background prefetch thread (the reference
+guards hung video decode with timeout threads, data_video.py:109-138; the
+prefetcher plays that role here).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class Dataset:
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int):
+        raise NotImplementedError
+
+
+class TensorDictDataset(Dataset):
+    """In-memory dict-of-arrays dataset (first axis indexes examples)."""
+
+    def __init__(self, data: Dict[str, np.ndarray]):
+        self.data = data
+        self.n = len(next(iter(data.values())))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        return {k: v[idx] for k, v in self.data.items()}
+
+
+class JsonlDataset(Dataset):
+    """(reference: sat/data_utils/jsonlds.py)"""
+
+    def __init__(self, path: str, process_fn: Callable = None):
+        import json
+
+        with open(path) as f:
+            self.rows = [json.loads(l) for l in f if l.strip()]
+        self.process_fn = process_fn or (lambda r: r)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, idx):
+        return self.process_fn(self.rows[idx])
+
+
+class VideoPoseDataset(Dataset):
+    """Paired video+pose example dirs, the training-side analogue of
+    data_video.load_video_with_pose (data_video.py:30-108): each item dir
+    holds a driving video, a rendered pose video and a reference image."""
+
+    def __init__(self, root: str, image_size=(256, 448), num_frames: int = 9):
+        import os
+
+        self.root = root
+        self.dirs = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        self.image_size = image_size
+        self.num_frames = num_frames
+
+    def __len__(self):
+        return len(self.dirs)
+
+    def __getitem__(self, idx):
+        from scail_tpu.data.video import (
+            find_file_with_patterns, frames_to_tchw_normalized,
+            load_image_chw_normalized, load_video_frames, pad_last_frame,
+            resize_for_rectangle_crop,
+        )
+
+        d = self.dirs[idx]
+        vid_path = find_file_with_patterns(
+            d, ["driving.mp4", "driving.gif", "GT.mp4", "GT.gif", "driving.npz"])
+        pose_path = find_file_with_patterns(
+            d, ["rendered.mp4", "rendered.gif", "rendered.npz", "rendered"])
+        ref_path = find_file_with_patterns(d, ["ref.jpg", "ref.png"])
+        frames, fps = load_video_frames(vid_path)
+        pose, _ = load_video_frames(pose_path)
+        frames = pad_last_frame(frames, self.num_frames)
+        pose = pad_last_frame(pose, self.num_frames)
+        mp4 = np.asarray(resize_for_rectangle_crop(
+            frames_to_tchw_normalized(frames), list(self.image_size), "center"))
+        pose = np.asarray(resize_for_rectangle_crop(
+            frames_to_tchw_normalized(pose), list(self.image_size), "center"))
+        ref = np.asarray(resize_for_rectangle_crop(
+            load_image_chw_normalized(ref_path), list(self.image_size), "center"))
+        return {"mp4": mp4, "pose": pose, "ref_frame": ref,
+                "first_frame": mp4[:1], "txt": ""}
+
+
+class WeightedConcatDataset(Dataset):
+    """Sample datasets proportionally to weights
+    (sat/data_utils/configure_data.py:303-380)."""
+
+    def __init__(self, datasets: Sequence[Dataset], weights: Sequence[float],
+                 seed: int = 0):
+        self.datasets = list(datasets)
+        w = np.asarray(weights, np.float64)
+        self.probs = w / w.sum()
+        self.rng = np.random.default_rng(seed)
+        # virtual length: weighted harmonic like the reference's scale-up
+        self.n = int(sum(len(d) for d in self.datasets))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        di = int(self.rng.choice(len(self.datasets), p=self.probs))
+        d = self.datasets[di]
+        return d[int(self.rng.integers(0, len(d)))]
+
+
+class AlterDataset(Dataset):
+    """Round-robin alternation (configure_data.py:383-446)."""
+
+    def __init__(self, datasets: Sequence[Dataset]):
+        self.datasets = list(datasets)
+        self.n = sum(len(d) for d in self.datasets)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        di = idx % len(self.datasets)
+        d = self.datasets[di]
+        return d[(idx // len(self.datasets)) % len(d)]
+
+
+class DistributedBatchSampler:
+    """Deterministic shuffled epochs sharded over dp replicas with
+    `start_iter` resume (sat/data_utils/samplers.py)."""
+
+    def __init__(self, n: int, batch_size: int, rank: int = 0, world_size: int = 1,
+                 shuffle: bool = True, seed: int = 0, start_iter: int = 0,
+                 drop_last: bool = True):
+        self.n, self.batch_size = n, batch_size
+        self.rank, self.world_size = rank, world_size
+        self.shuffle, self.seed = shuffle, seed
+        self.start_iter = start_iter
+        self.drop_last = drop_last
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + epoch).permutation(idx)
+        per = self.n // self.world_size if self.drop_last else -(-self.n // self.world_size)
+        return idx[self.rank * per : (self.rank + 1) * per]
+
+    def __iter__(self) -> Iterator[List[int]]:
+        it = 0
+        for epoch in itertools.count():
+            idx = self.epoch_indices(epoch)
+            for i in range(0, len(idx) - self.batch_size + 1, self.batch_size):
+                if it >= self.start_iter:
+                    yield idx[i : i + self.batch_size].tolist()
+                it += 1
+
+
+def default_collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        elif isinstance(vals[0], (int, float)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Background-thread prefetching loader."""
+
+    def __init__(self, dataset: Dataset, sampler: DistributedBatchSampler,
+                 collate_fn: Callable = default_collate, prefetch: int = 2):
+        self.dataset, self.sampler = dataset, sampler
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for batch_idx in self.sampler:
+                if stop.is_set():
+                    return
+                q.put(self.collate_fn([self.dataset[i] for i in batch_idx]))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+def make_loaders(train_ds: Dataset, batch_size: int, *, valid_ds: Optional[Dataset] = None,
+                 rank: int = 0, world_size: int = 1, seed: int = 0,
+                 start_iter: int = 0):
+    """(configure_data.py:168-264) train/val loader pair, dp-sharded."""
+    train = DataLoader(train_ds, DistributedBatchSampler(
+        len(train_ds), batch_size, rank, world_size, True, seed, start_iter))
+    valid = None
+    if valid_ds is not None:
+        valid = DataLoader(valid_ds, DistributedBatchSampler(
+            len(valid_ds), batch_size, rank, world_size, False, seed))
+    return train, valid

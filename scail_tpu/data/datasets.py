@@ -211,6 +211,45 @@ class DataLoader:
             stop.set()
 
 
+class TarShardDataset:
+    """Streaming webdataset-style tar shards
+    (reference: sat/data_utils/webds.py SimpleDistributedWebDataset).
+
+    Shards are .tar files whose members group by basename prefix
+    (`000001.jpg`, `000001.txt`, ...).  Iteration yields dicts keyed by
+    extension; shards are interleaved across (rank, world_size) and workers
+    resume deterministically by shard index.
+    """
+
+    def __init__(self, shard_paths: Sequence[str], process_fn: Callable = None,
+                 rank: int = 0, world_size: int = 1, seed: int = 0,
+                 shuffle_shards: bool = True):
+        self.shards = sorted(shard_paths)
+        if shuffle_shards:
+            self.shards = list(np.random.default_rng(seed).permutation(self.shards))
+        self.shards = self.shards[rank::world_size]
+        self.process_fn = process_fn or (lambda s: s)
+
+    def __iter__(self):
+        import tarfile
+
+        for shard in itertools.cycle(self.shards):
+            with tarfile.open(shard) as tf:
+                sample: Dict[str, Any] = {}
+                key = None
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    base, _, ext = member.name.partition(".")
+                    if key is not None and base != key and sample:
+                        yield self.process_fn(dict(sample, __key__=key))
+                        sample = {}
+                    key = base
+                    sample[ext] = tf.extractfile(member).read()
+                if sample:
+                    yield self.process_fn(dict(sample, __key__=key))
+
+
 def make_loaders(train_ds: Dataset, batch_size: int, *, valid_ds: Optional[Dataset] = None,
                  rank: int = 0, world_size: int = 1, seed: int = 0,
                  start_iter: int = 0):

@@ -104,7 +104,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, k
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_attention_bnsd(q, k, v, scale, block_q=512, block_k=1024):
+def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
     """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed."""
     B, sq, d = q.shape
     skv = k.shape[1]
@@ -152,7 +152,7 @@ def _flash_attention_bnsd(q, k, v, scale, block_q=512, block_k=1024):
     return out[:, :sq]
 
 
-def _attention_pallas(q, k, v, scale, block_q=512, block_k=1024):
+def _attention_pallas(q, k, v, scale, block_q=1024, block_k=1024):
     b, sq, n, d = q.shape
     skv = k.shape[1]
     qt = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)

@@ -75,6 +75,27 @@ def test_pad_last_frame():
     assert np.all(out[3:] == 2)
 
 
+def test_tar_shard_dataset(tmp_path):
+    import io
+    import tarfile
+
+    from scail_tpu.data.datasets import TarShardDataset
+
+    p = tmp_path / "shard-000.tar"
+    with tarfile.open(p, "w") as tf:
+        for i in range(3):
+            for ext, payload in (("txt", f"caption {i}".encode()),
+                                 ("bin", bytes([i] * 4))):
+                info = tarfile.TarInfo(f"{i:06d}.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+    ds = TarShardDataset([str(p)], shuffle_shards=False)
+    items = [s for _, s in zip(range(3), iter(ds))]
+    assert items[0]["txt"] == b"caption 0"
+    assert items[2]["bin"] == bytes([2] * 4)
+    assert items[1]["__key__"] == "000001"
+
+
 def test_video_pose_dataset(tmp_path):
     from PIL import Image
 

@@ -35,6 +35,7 @@ conv kernels (o,i,kt,kh,kw)->(kt,kh,kw,i,o).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -412,6 +413,114 @@ def _decode_streamed(params, cfg: WanVAEConfig, x):
     caches, outs = jax.lax.scan(step, caches, frames)
     outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(b, -1, *outs.shape[3:])
     return jnp.concatenate([out0, outs], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Context-parallel evaluation: temporal sharding with halo exchange.
+# ---------------------------------------------------------------------------
+class _PermuteCache(_Cache):
+    """Cache view for context-parallel shards: each conv's 'cache' is the
+    last frames of the PREVIOUS device's input, fetched with one ppermute
+    over the 'seq' axis -- the TPU-native form of the reference's ring-pass
+    `_pass_from_previous_rank` (sgm/modules/cp_enc_dec.py:182-276).
+
+    Device 0 takes the probe caches recorded while the (replicated) first
+    frame ran: zeros for stride-1 convs (== causal padding) and the special
+    'Rep'/passthrough state for the temporal resamples.
+    """
+
+    def __init__(self, probe_caches, axis_name: str):
+        self.store = probe_caches
+        self.new = {}
+        self.axis = axis_name
+
+    def enabled(self):
+        return True
+
+    def pull(self, name, x, n_frames=CACHE_T):
+        import jax
+
+        P = jax.lax.axis_size(self.axis)
+        idx = jax.lax.axis_index(self.axis)
+        halo = x[:, -n_frames:]
+        prev = jax.lax.ppermute(
+            halo, self.axis, [(i, i + 1) for i in range(P - 1)])
+        probe = self.store[name].astype(x.dtype)
+        return jnp.where((idx == 0), probe, prev)
+
+
+def vae_encode_cp(params, cfg: WanVAEConfig, video, mesh, axis_name: str = "seq"):
+    """Context-parallel encode: frame 0 runs replicated, the remaining 4k
+    frames shard over `axis_name` (k divisible by the axis size).  Exactly
+    equal to the streamed/full-sequence result."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    x = video.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype)
+    T = x.shape[1]
+    Pn = mesh.shape[axis_name]
+    assert (T - 1) % (4 * Pn) == 0, f"need 1+4k frames with k % {Pn} == 0"
+    # conv halos fetch from ONE neighbour; every shard must keep >=2 frames
+    # at the deepest temporal resolution (latent rate)
+    assert (T - 1) // (4 * Pn) >= 2, (
+        f"too few frames per shard: need >=2 latent frames/device, got "
+        f"{(T - 1) // (4 * Pn)}")
+
+    probe = _ZeroCache()
+    out0 = _encoder(params["encoder"], x[:, :1], cfg, probe, first_chunk=True)
+    caches = probe.new
+
+    spec = P(None, axis_name, None, None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), spec), out_specs=spec, check_vma=False,
+    )
+    def region(caches, xs):
+        c = _PermuteCache(caches, axis_name)
+        return _encoder(params["encoder"], xs, cfg, c, first_chunk=False)
+
+    outs = region(caches, x[:, 1:])
+    out = jnp.concatenate([out0, outs], axis=1)
+    moments = _conv3d(params["conv1"], out, t_pad=0, s_pad=0)
+    mu = moments[..., : cfg.z_dim].astype(jnp.float32)
+    mu = (mu - cfg.latent_mean) / cfg.latent_std
+    return mu.transpose(0, 1, 4, 2, 3)
+
+
+def vae_decode_cp(params, cfg: WanVAEConfig, z, mesh, axis_name: str = "seq"):
+    """Context-parallel decode: latent frame 0 replicated, frames 1..T-1
+    sharded over `axis_name`."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    zl = z.transpose(0, 1, 3, 4, 2).astype(jnp.float32)
+    zl = zl * cfg.latent_std + cfg.latent_mean
+    zl = zl.astype(cfg.compute_dtype)
+    x = _conv3d(params["conv2"], zl, t_pad=0, s_pad=0)
+    T = x.shape[1]
+    Pn = mesh.shape[axis_name]
+    assert (T - 1) % Pn == 0, f"need 1+m*{Pn} latent frames"
+    assert (T - 1) // Pn >= 2, "need >=2 latent frames per shard (halo width)"
+
+    probe = _ZeroCache()
+    out0 = _decoder(params["decoder"], x[:, :1], cfg, probe, first_chunk=True)
+    caches = probe.new
+
+    spec = P(None, axis_name, None, None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), spec), out_specs=spec, check_vma=False,
+    )
+    def region(caches, xs):
+        c = _PermuteCache(caches, axis_name)
+        return _decoder(params["decoder"], xs, cfg, c, first_chunk=False)
+
+    outs = region(caches, x[:, 1:])
+    out = jnp.concatenate([out0, outs], axis=1)
+    out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
+    return out.transpose(0, 1, 4, 2, 3)
 
 
 @register(alias="sgm.models.wan_vae.WanVAE")

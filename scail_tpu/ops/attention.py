@@ -58,9 +58,10 @@ def _attention_chunked(q, k, v, scale, block_q: int = 512):
 
 
 # --------------------------------------------------------------------------
-# Pallas TPU flash attention (forward).
+# Pallas TPU flash attention (forward + custom VJP backward).
 # --------------------------------------------------------------------------
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                  *, scale, kv_len, block_k):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -102,10 +103,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, k
     @pl.when(ki == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-30))
 
 
-def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
-    """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed."""
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed.
+    Returns (out (B, sq, d), lse (B, sq) fp32)."""
     B, sq, d = q.shape
     skv = k.shape[1]
     pq = (-sq) % block_q
@@ -121,7 +124,7 @@ def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
     kernel = functools.partial(
         _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(B, nq, nk),
         in_specs=[
@@ -132,9 +135,16 @@ def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((q.shape[0], 1, q.shape[1]), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -149,7 +159,155 @@ def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
             transcendentals=B * q.shape[1] * k.shape[1],
         ),
     )(q, k, v)
-    return out[:, :sq]
+    return out[:, :sq], lse[:, 0, :sq]
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                     acc_ref, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, None]   # (bq, 1)
+    delta = delta_ref[0, 0][:, None]  # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kv_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(kv_idx < kv_len, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(k.dtype)
+    acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale, q_len, block_q):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][None, :]   # (1, bq)
+    delta = delta_ref[0, 0][None, :]
+
+    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale  # (bk, bq)
+    q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
+    p_t = jnp.where(q_idx < q_len, jnp.exp(s_t - lse), 0.0)
+
+    dv_acc[:] += jax.lax.dot_general(p_t.astype(do.dtype), do,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (bk, bq)
+    ds_t = (p_t * (dp_t - delta) * scale).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
+    B, sq, d = q.shape
+    skv = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B, sq)
+
+    pq = (-sq) % block_q
+    pk = (-skv) % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pq), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, pq)))
+        delta = jnp.pad(delta, ((0, 0), (0, pq)))
+    lse = lse[:, None, :]
+    delta = delta[:, None, :]
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    nq = q.shape[1] // block_q
+    nk = k.shape[1] // block_k
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    q1spec = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                          memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, kv_len=skv, block_k=block_k),
+        grid=(B, nq, nk),
+        in_specs=[qspec, kspec, kspec, qspec, q1spec, q1spec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q, k, v, do, lse, delta)
+
+    # dk/dv: kv blocks in the second grid dim, q innermost
+    qspec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    q1spec2 = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, q_len=sq, block_q=block_q),
+        grid=(B, nk, nq),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, q1spec2, q1spec2],
+        out_specs=(kspec2, kspec2),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q, k, v, do, lse, delta)
+
+    return dq[:, :sq], dk[:, :skv], dv[:, :skv]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, res, do):
+    q, k, v, o, lse = res
+    return _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k)
+
+
+_flash_attention_bnsd.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def _attention_pallas(q, k, v, scale, block_q=1024, block_k=1024):

@@ -190,6 +190,24 @@ def test_attention_chunked_matches_xla(rng):
     np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
 
 
+def test_attention_pallas_vjp_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, n, d = 1, 150, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s + 26, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s + 26, n, d)).astype(np.float32))
+
+    def loss(impl):
+        return lambda q, k, v: jnp.sum(attention(q, k, v, impl=impl) ** 2)
+
+    gref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gpl = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gref, gpl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+
 def test_attention_pallas_interpret_matches_xla(rng):
     from jax.experimental.pallas import tpu as pltpu
 

@@ -62,6 +62,30 @@ def test_single_frame_image():
     assert out.shape == (1, 1, 3, 16, 16)
 
 
+def test_context_parallel_matches_full(rng):
+    """CP (temporal halo-exchange) encode/decode == full-sequence
+    (cp_enc_dec.py parity) on a 4-way 'seq' mesh."""
+    import jax
+
+    from scail_tpu.models.wan_vae import vae_decode_cp, vae_encode_cp
+    from scail_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    _, params = _setup()
+    mesh = make_mesh(MeshSpec(data=1, seq=4, model=2))
+
+    video = rng.standard_normal((1, 33, 3, 16, 16)).astype(np.float32) * 0.5
+    want = np.asarray(vae_encode(params, CFG, jnp.asarray(video), streamed=False))
+    got = np.asarray(jax.jit(
+        lambda v: vae_encode_cp(params, CFG, v, mesh))(jnp.asarray(video)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    z = rng.standard_normal((1, 9, 4, 2, 2)).astype(np.float32)
+    want_d = np.asarray(vae_decode(params, CFG, jnp.asarray(z), streamed=False))
+    got_d = np.asarray(jax.jit(
+        lambda zz: vae_decode_cp(params, CFG, zz, mesh))(jnp.asarray(z)))
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-4, atol=3e-4)
+
+
 def test_real_config_shapes():
     cfg = WanVAEConfig()
     assert cfg.enc_dims == [96, 96, 192, 384, 384]

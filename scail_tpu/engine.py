@@ -29,6 +29,15 @@ from scail_tpu.utils.registry import ensure_imports, instantiate_from_config
 from scail_tpu.utils.misc import default
 
 
+def _half_res(video):
+    """0.5x bilinear downsample of a (b, T, C, H, W) clip (the
+    smpl_downsample representation, sample_video.py:350-351)."""
+    from scail_tpu.ops.resize import resize_bilinear
+
+    b, T, C, H, W = video.shape
+    return resize_bilinear(video, H // 2, W // 2)
+
+
 class VideoDiffusionEngine:
     def __init__(self, model_config: Dict, args=None):
         ensure_imports()
@@ -193,3 +202,56 @@ class VideoDiffusionEngine:
             history_mask=history_mask,
             patch_size=self.network.config.patch_size,
         )
+
+    def add_noise_to_first_frame(self, key, image):
+        """sigma ~ exp(N(-2.5, 0.5)); image + sigma*noise (reference :350-355)."""
+        k1, k2 = jax.random.split(key)
+        sigma = jnp.exp(-2.5 + 0.5 * jax.random.normal(k1, (image.shape[0],)))
+        noise = jax.random.normal(k2, image.shape) * sigma[:, None, None, None, None]
+        return image + noise.astype(image.dtype)
+
+    def shared_step(self, key, batch: Dict):
+        """Raw-pixel training step: VAE-encode x/ref/pose, apply
+        image/pose conditioning dropout, embed text, compute RFLoss
+        (reference shared_step, diffusion_video.py:357-454, wan branch).
+
+        batch: {'mp4': (b,T,3,H,W), 'pose': (b,T,3,H,W),
+                'ref_frame': (b,1,3,H,W), 'txt': [str]*b} in [-1,1].
+        Returns (loss_mean, loss_dict)."""
+        assert self.use_pose and self.noised_image_input and self.i2v_encode_video
+        k_noise, k_imgdrop, k_posedrop, k_loss, k_clip = jax.random.split(key, 5)
+        x_pix = batch["mp4"]
+        ref = batch["ref_frame"]
+        pose_pix = batch["pose"]
+        b, T = x_pix.shape[:2]
+
+        # noised first-frame conditioning latent [noisy ref ‖ zeros] (:368-377)
+        noisy_ref = self.add_noise_to_first_frame(k_noise, ref)
+        img_seq = jnp.concatenate(
+            [noisy_ref, jnp.zeros_like(x_pix[:, 1:])], axis=1)
+        concat_images = self.encode_first_stage(img_seq, force_encode=True)
+        ref_concat = self.encode_first_stage(ref, force_encode=True, streamed=False)
+        latents = self.encode_first_stage(x_pix, force_encode=True)
+        pose_latent = self.encode_first_stage(
+            _half_res(pose_pix), force_encode=True)
+
+        # conditioning dropout (:385-407)
+        keep_img = jax.random.bernoulli(
+            k_imgdrop, 1.0 - self.image_cond_dropout, (b,)).astype(concat_images.dtype)
+        concat_images = concat_images * keep_img[:, None, None, None, None]
+        keep_pose = jax.random.bernoulli(
+            k_posedrop, 1.0 - self.pose_dropout, (b,)).astype(pose_latent.dtype)
+        pose_latent = pose_latent * keep_pose[:, None, None, None, None]
+
+        cond = self.conditioner(batch) if self.conditioner is not None else {}
+        cond["concat_images"] = concat_images
+        cond["ref_concat"] = ref_concat
+        cond["concat_smpl_render"] = pose_latent
+        if self.use_i2v_clip and self.i2v_clip is not None:
+            cond["image_clip_features"] = self.i2v_clip.visual(
+                jnp.transpose(ref, (0, 2, 1, 3, 4)))
+
+        loss = self.loss(k_loss, latents, cond,
+                         history_mask=batch.get("history_mask"))
+        loss_mean = jnp.mean(loss)
+        return loss_mean, {"diffusion loss": loss_mean}

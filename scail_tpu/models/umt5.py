@@ -204,6 +204,9 @@ class T5EncoderModel:
                  uncond_text_length=1, **kw):
         self.config = UMT5Config(dtype="bfloat16" if "bf" in str(dtype) else "float32")
         self.max_length = max_length
+        self.varlen_text = varlen_text
+        self.cond_length_multiple = 1  # set by the engine for mp*sp shards
+        self.uncond_text_length = uncond_text_length
         self.params = None
         self._encode = None
         import os
@@ -237,7 +240,18 @@ class T5EncoderModel:
             self._encode = jax.jit(
                 lambda p, i, m: umt5_encode(p, self.config, i, m)
             )
-        return self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        z = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        if self.varlen_text:
+            # trim to valid tokens padded to a multiple of the shard count
+            # (umt5.py:524-535)
+            assert z.shape[0] == 1
+            num = int(np.asarray(mask)[0].sum())
+            if num > 1:
+                pad = (-num) % self.cond_length_multiple
+            else:
+                pad = self.uncond_text_length - num
+            z = z[:, : num + pad]
+        return z
 
 
 class _HFTok:

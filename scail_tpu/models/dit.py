@@ -457,11 +457,15 @@ class DiffusionTransformer:
     yields a (config, init, apply) bundle."""
 
     def __init__(self, **network_params):
+        targs = dict(network_params.get("transformer_args", {}) or {})
         # strip reference-only plumbing keys
         for k in ("transformer_args", "num_frames", "time_compressed_rate",
                   "latent_width", "latent_height", "use_RMSNorm", "parallel_output"):
             network_params.pop(k, None)
-        self.config = DiTConfig.from_network_config(network_params)
+        self.config = DiTConfig.from_network_config(
+            network_params,
+            remat=bool(targs.get("checkpoint_activations", False)),
+        )
 
     def init(self, key):
         return init_dit_params(key, self.config)

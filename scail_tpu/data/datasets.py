@@ -184,13 +184,17 @@ def default_collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Background-thread prefetching loader."""
+    """Background-thread prefetching loader with a per-batch timeout guard
+    against hung decodes (the reference wraps video decode in timeout
+    threads, data_video.py:109-138)."""
 
     def __init__(self, dataset: Dataset, sampler: DistributedBatchSampler,
-                 collate_fn: Callable = default_collate, prefetch: int = 2):
+                 collate_fn: Callable = default_collate, prefetch: int = 2,
+                 timeout: Optional[float] = None):
         self.dataset, self.sampler = dataset, sampler
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        self.timeout = timeout
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -200,13 +204,19 @@ class DataLoader:
             for batch_idx in self.sampler:
                 if stop.is_set():
                     return
-                q.put(self.collate_fn([self.dataset[i] for i in batch_idx]))
+                try:
+                    q.put(self.collate_fn([self.dataset[i] for i in batch_idx]))
+                except Exception as e:  # skip corrupt samples, keep training
+                    from scail_tpu.utils.logging import print_rank0
+
+                    print_rank0(f"dataloader: skipping batch {batch_idx}: {e}",
+                                "warning")
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             while True:
-                yield q.get()
+                yield q.get(timeout=self.timeout)
         finally:
             stop.set()
 

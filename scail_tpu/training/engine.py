@@ -75,6 +75,21 @@ class Trainer:
         self.loss_fn = loss_fn
         self.timers = Timers()
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._metrics_file = None
+        if config.save_dir:
+            import os
+
+            os.makedirs(config.save_dir, exist_ok=True)
+            self._metrics_file = os.path.join(config.save_dir, "metrics.jsonl")
+
+    def _log_metrics(self, record: Dict):
+        """Append-only JSONL metrics stream (the tensorboard/wandb surface of
+        sat/training/utils.py:29-64, kept dependency-free)."""
+        if self._metrics_file:
+            import json
+
+            with open(self._metrics_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
 
     # ------------------------------------------------------------------
     def _train_step(self, state, batch):
@@ -154,6 +169,12 @@ class Trainer:
                     f"{cfg.log_interval / elapsed:.2f} it/s | "
                     f"skipped {int(self.state['skipped'])}"
                 )
+                self._log_metrics({
+                    "iter": step, "loss": float(lvals.mean()), "lr": lr,
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "it_per_s": cfg.log_interval / elapsed,
+                    "skipped": int(self.state["skipped"]),
+                })
                 losses, t_last = [], time.perf_counter()
             if cfg.save_dir and step % cfg.save_interval == 0:
                 self.save(step)

@@ -24,12 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 # Quantize / pack (reference: kernels.py compress_int4_weight & scale calc)
 # ---------------------------------------------------------------------------
 def quantize_int8(w):
-    """w: (in, out) float -> (int8 (in,out), scale (out,)).  Symmetric
-    per-output-channel, scale = absmax/127 like W8A16Linear."""
+    """w: (..., in, out) float -> (int8 same shape, scale (..., out)).
+    Symmetric per-output-channel, scale = absmax/127 like W8A16Linear.
+    Leading dims (stacked transformer layers) quantize independently."""
     w = jnp.asarray(w, jnp.float32)
-    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.max(jnp.abs(w), axis=-2) / 127.0
     scale = jnp.maximum(scale, 1e-8)
-    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     return q, scale
 
 
@@ -117,7 +118,7 @@ def _matmul_w8a16_pallas(x, qw, scale, block_m=256, block_n=512, block_k=512):
 
 
 def _matmul_w8a16_xla(x, qw, scale):
-    w = qw.astype(x.dtype) * scale.astype(x.dtype)[None, :]
+    w = qw.astype(x.dtype) * scale.astype(x.dtype)[..., None, :]
     return jnp.dot(x, w)
 
 
@@ -164,3 +165,36 @@ def dense_quantized(qp, x, impl: str = "auto"):
     if "bias" in qp:
         y = y + qp["bias"].astype(y.dtype)
     return y
+
+
+def quantize_model_params(params, targets=("layers/",), bits: int = 8):
+    """Quantize every dense kernel whose path matches a target substring --
+    the model-level analogue of the reference's quantize() pass replacing
+    Linears with QuantizedLinear (sat/quantization/__init__.py).
+
+    Stacked-layer kernels (L, in, out) keep their leading dim; per-layer
+    per-channel scales.  int4 packs along the input dim (requires even)."""
+
+    def visit(node, path=""):
+        if isinstance(node, dict) and "kernel" in node:
+            if any(t in path for t in targets) and node["kernel"].ndim >= 2:
+                k = node["kernel"]
+                out = {kk: vv for kk, vv in node.items() if kk != "kernel"}
+                if bits == 8:
+                    q, s = quantize_int8(k)
+                    out["qweight"], out["scale"] = q, s
+                else:
+                    lead = k.shape[:-2]
+                    kk2 = k.reshape((-1,) + k.shape[-2:])
+                    qs = [quantize_int4(kk2[i]) for i in range(kk2.shape[0])]
+                    out["qweight4"] = jnp.stack([q for q, _ in qs]).reshape(
+                        lead + qs[0][0].shape)
+                    out["scale"] = jnp.stack([s for _, s in qs]).reshape(
+                        lead + qs[0][1].shape)
+                return out
+            return node
+        if isinstance(node, dict):
+            return {k: visit(v, f"{path}{k}/") for k, v in node.items()}
+        return node
+
+    return visit(params)

@@ -51,6 +51,36 @@ def test_w8a16_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
+def test_quantized_dit_forward_close(rng):
+    """Whole-model W8A16 quantization keeps the DiT forward close to fp32
+    (the 14B single-chip inference path)."""
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+    from scail_tpu.ops.quant import quantize_model_params
+
+    cfg = DiTConfig(hidden_size=32, num_layers=2, num_heads=2, inner_hidden_size=48,
+                    time_embed_dim=32, text_dim=12, clip_dim=10, share_adaln=True,
+                    use_i2v_clip=True, dtype="float32", attn_impl="xla")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    inp = dict(
+        x=jnp.asarray(rng.standard_normal((1, 2, 16, 8, 8)).astype(np.float32)),
+        timesteps=jnp.asarray([100.0], jnp.float32),
+        context=jnp.asarray(rng.standard_normal((1, 7, 12)).astype(np.float32)),
+    )
+    kw = dict(
+        ref_concat=jnp.asarray(rng.standard_normal((1, 1, 16, 8, 8)).astype(np.float32)),
+        concat_smpl_render=jnp.asarray(rng.standard_normal((1, 2, 16, 4, 4)).astype(np.float32)),
+        image_clip_features=jnp.asarray(rng.standard_normal((1, 5, 10)).astype(np.float32)),
+    )
+    want = np.asarray(dit_forward(params, cfg, inp["x"], inp["timesteps"], inp["context"], **kw))
+    qparams = quantize_model_params(params, targets=("layers/",), bits=8)
+    assert "qweight" in qparams["layers"]["qkv"]
+    assert qparams["layers"]["qkv"]["qweight"].shape == (2, 32, 96)
+    got = np.asarray(dit_forward(qparams, cfg, inp["x"], inp["timesteps"], inp["context"], **kw))
+    # int8 weights: small relative degradation, not exact
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert rel < 0.1, rel
+
+
 def test_dense_quantized_api(rng):
     p = {"kernel": rng.standard_normal((32, 16)).astype(np.float32),
          "bias": rng.standard_normal((16,)).astype(np.float32)}

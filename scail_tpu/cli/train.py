@@ -1,0 +1,115 @@
+"""Training CLI (reference: sat/training/deepspeed_training.py training_main
+as invoked by SAT finetune scripts).
+
+Builds the engine from the same YAML graphs as sampling, a VideoPoseDataset
+over a directory of example dirs, and runs the Trainer with the RFLoss
+raw-pixel shared_step.
+
+Usage:
+  python -m scail_tpu.cli.train \
+      --base configs/video_model/scail_1p3b.yaml configs/training/default.yaml \
+      --data-root /path/to/examples --save ckpts/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from scail_tpu.utils.config import load_configs, split_reference_config
+from scail_tpu.utils.logging import print_rank0
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("scail_tpu.train")
+    p.add_argument("--base", nargs="*", default=[])
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--save", default=None)
+    p.add_argument("--load", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--train-iters", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup-iters", type=int, default=100)
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--image-size", type=int, nargs=2, default=[256, 448])
+    p.add_argument("--num-frames", type=int, default=9)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help=">0 enables LoRA finetuning of the DiT")
+    p.add_argument("--mesh-seq", type=int, default=1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = load_configs(args.base)
+    _, model_cfg = split_reference_config(cfg)
+
+    from scail_tpu.data.datasets import VideoPoseDataset, make_loaders
+    from scail_tpu.engine import VideoDiffusionEngine
+    from scail_tpu.training.engine import TrainConfig, Trainer
+
+    engine = VideoDiffusionEngine(dict(model_cfg))
+    key = jax.random.PRNGKey(args.seed)
+    if args.load:
+        engine.load_checkpoint(args.load)
+        # VAE/encoders come from their own checkpoint paths in the YAML
+        engine.init_params(key) if "dit" not in engine.params else None
+    else:
+        engine.init_params(key)
+
+    if args.mesh_seq * args.mesh_model > 1 or jax.device_count() > 1:
+        from scail_tpu.parallel.mesh import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec.infer(jax.device_count(),
+                                        seq=args.mesh_seq, model=args.mesh_model))
+        engine.shard_params(mesh)
+
+    params = engine.params["dit"]
+    lora_mask_tree = None
+    if args.lora_rank > 0:
+        from scail_tpu.training.lora import add_lora, lora_mask
+
+        params = add_lora(params, jax.random.PRNGKey(args.seed + 1),
+                          rank=args.lora_rank)
+        lora_mask_tree = lora_mask(params)
+        print_rank0(f"LoRA finetuning enabled (rank {args.lora_rank})")
+
+    def loss_fn(dit_params, key, batch):
+        engine.params["dit"] = dit_params
+        loss, _ = engine.shared_step(key, batch)
+        return loss
+
+    tconf = TrainConfig(
+        train_iters=args.train_iters, lr=args.lr, warmup_iters=args.warmup_iters,
+        grad_accum=args.grad_accum, save_dir=args.save, seed=args.seed,
+    )
+    trainer = Trainer(params, loss_fn, tconf, model_config=dict(model_cfg))
+    if args.resume:
+        trainer.resume()
+
+    ds = VideoPoseDataset(args.data_root, image_size=tuple(args.image_size),
+                          num_frames=args.num_frames)
+    print_rank0(f"dataset: {len(ds)} examples from {args.data_root}")
+    train_loader, _ = make_loaders(ds, args.batch_size, seed=args.seed,
+                                   start_iter=int(trainer.state["step"]))
+
+    def to_device(batch):
+        # text embeds outside jit (tokenization is host work); strings out
+        if engine.conditioner is not None and "txt" in batch:
+            cond = engine.conditioner({"txt": batch["txt"]})
+            batch = dict(batch)
+            batch["crossattn"] = cond["crossattn"]
+        return {k: jnp.asarray(v) for k, v in batch.items()
+                if not isinstance(v, list)}
+
+    trainer.fit(map(to_device, iter(train_loader)))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -243,7 +243,14 @@ class VideoDiffusionEngine:
             k_posedrop, 1.0 - self.pose_dropout, (b,)).astype(pose_latent.dtype)
         pose_latent = pose_latent * keep_pose[:, None, None, None, None]
 
-        cond = self.conditioner(batch) if self.conditioner is not None else {}
+        # text embedding: precomputed (jit-friendly: tokenization is host
+        # work) or via the conditioner when running eagerly
+        if "crossattn" in batch:
+            cond = {"crossattn": batch["crossattn"]}
+        elif self.conditioner is not None:
+            cond = self.conditioner(batch)
+        else:
+            cond = {}
         cond["concat_images"] = concat_images
         cond["ref_concat"] = ref_concat
         cond["concat_smpl_render"] = pose_latent

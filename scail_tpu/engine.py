@@ -175,13 +175,17 @@ class VideoDiffusionEngine:
         shape: Tuple[int, int, int, int] = None,
         prefix=None,
         tile_indices=None,
+        params=None,
         **kw,
     ):
+        """Pass `params` explicitly when calling under jit so the weights are
+        jit ARGUMENTS, not captured constants (multi-GB constant capture
+        breaks/blows up compilation)."""
         randn = jax.random.normal(key, (batch_size, *shape), jnp.float32)
         if prefix is not None:
             randn = jnp.concatenate([prefix, randn[:, prefix.shape[1]:]], axis=1)
 
-        net = self.network_fn(self.params["dit"])
+        net = self.network_fn(params if params is not None else self.params["dit"])
 
         def denoise_fn(x, sigma, c, cfg_scale=None, **dkw):
             return self.denoiser(net, x, sigma, c, **dkw)

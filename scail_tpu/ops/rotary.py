@@ -61,28 +61,38 @@ def apply_rotary(x, cos, sin, interleaved: bool = True):
 
 
 def _axis_freqs(dim: int, theta: float) -> np.ndarray:
-    """1 / theta^(2i/dim), i = 0..dim/2-1 (dit:414-422)."""
-    return 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim)
+    """1 / theta^(2i/dim), i = 0..dim/2-1 (dit:414-422).  f32 like torch."""
+    return (
+        1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim)
+    ).astype(np.float32)
 
 
 def _segment_angles(grid_t, grid_h, grid_w, freqs_t, freqs_h, freqs_w, interleaved):
     """Angle tensor (T, H, W, D): broadcast-concat of per-axis outer products
-    with the reference's repeat layout (dit:444-502)."""
+    with the reference's repeat layout (dit:444-502).
+
+    Built with jnp in float32 (the reference's tables are torch f32): under
+    jit XLA computes the tables on device instead of shipping multi-MB host
+    constants into the executable.
+    """
 
     def rep(a):  # (..., n) -> (..., n*2)
         if interleaved:
-            return np.repeat(a, 2, axis=-1)  # (n r): f0,f0,f1,f1,...
-        return np.concatenate([a, a], axis=-1)  # (r n): f0..fn,f0..fn
+            return jnp.repeat(a, 2, axis=-1)  # (n r): f0,f0,f1,f1,...
+        return jnp.concatenate([a, a], axis=-1)  # (r n): f0..fn,f0..fn
 
-    at = rep(np.outer(grid_t, freqs_t))  # (T, dt)
-    ah = rep(np.outer(grid_h, freqs_h))  # (H, dh)
-    aw = rep(np.outer(grid_w, freqs_w))  # (W, dw)
+    grid_t = jnp.asarray(grid_t, jnp.float32)
+    grid_h = jnp.asarray(grid_h, jnp.float32)
+    grid_w = jnp.asarray(grid_w, jnp.float32)
+    at = rep(jnp.outer(grid_t, freqs_t))  # (T, dt)
+    ah = rep(jnp.outer(grid_h, freqs_h))  # (H, dh)
+    aw = rep(jnp.outer(grid_w, freqs_w))  # (W, dw)
     T, H, W = len(grid_t), len(grid_h), len(grid_w)
-    out = np.concatenate(
+    out = jnp.concatenate(
         [
-            np.broadcast_to(at[:, None, None, :], (T, H, W, at.shape[-1])),
-            np.broadcast_to(ah[None, :, None, :], (T, H, W, ah.shape[-1])),
-            np.broadcast_to(aw[None, None, :, :], (T, H, W, aw.shape[-1])),
+            jnp.broadcast_to(at[:, None, None, :], (T, H, W, at.shape[-1])),
+            jnp.broadcast_to(ah[None, :, None, :], (T, H, W, ah.shape[-1])),
+            jnp.broadcast_to(aw[None, None, :, :], (T, H, W, aw.shape[-1])),
         ],
         axis=-1,
     )
@@ -148,17 +158,17 @@ def build_scail_rope(
         T, H, W, D = v.shape
         return v.reshape(T, H // 2, 2, W // 2, 2, D).mean(axis=(2, 4))
 
-    # trig in float32 to match the torch float32 tables (dit:509-513)
-    ref_cos, ref_sin = np.cos(ref_ang), np.sin(ref_ang)
-    vid_cos, vid_sin = np.cos(vid_ang), np.sin(vid_ang)
-    pose_cos = pool2x2(np.cos(pose_ang).astype(np.float32)).reshape(-1, head_dim)
-    pose_sin = pool2x2(np.sin(pose_ang).astype(np.float32)).reshape(-1, head_dim)
+    # trig in float32 matching the torch float32 tables (dit:509-513)
+    ref_cos, ref_sin = jnp.cos(ref_ang), jnp.sin(ref_ang)
+    vid_cos, vid_sin = jnp.cos(vid_ang), jnp.sin(vid_ang)
+    pose_cos = pool2x2(jnp.cos(pose_ang)).reshape(-1, head_dim)
+    pose_sin = pool2x2(jnp.sin(pose_ang)).reshape(-1, head_dim)
 
-    cos = np.concatenate([ref_cos, vid_cos, pose_cos], axis=0).astype(np.float32)
-    sin = np.concatenate([ref_sin, vid_sin, pose_sin], axis=0).astype(np.float32)
+    cos = jnp.concatenate([ref_cos, vid_cos, pose_cos], axis=0)
+    sin = jnp.concatenate([ref_sin, vid_sin, pose_sin], axis=0)
     return RopeTables(
-        cos=jnp.asarray(cos, dtype=dtype),
-        sin=jnp.asarray(sin, dtype=dtype),
+        cos=cos.astype(dtype),
+        sin=sin.astype(dtype),
         ref_len=ref_ang.shape[0],
         video_len=vid_ang.shape[0],
         pose_len=pose_cos.shape[0],

@@ -66,29 +66,31 @@ def main():
         scaling_config={"target": "sgm.modules.diffusionmodules.denoiser_scaling.RFScaling"},
     )
 
-    def net(x, c_noise, c, **kw):
-        return dit_forward(params, cfg, x, c_noise, c["crossattn"],
-                           ref_concat=c["ref_concat"],
-                           concat_smpl_render=c["concat_smpl_render"],
-                           image_clip_features=c["image_clip_features"])
-
-    def denoise_fn(x, sigma, c, cfg_scale=None, **kw):
-        return denoiser(net, x, sigma, c)
-
+    # params and cond MUST be jit arguments, not closure captures: captured
+    # multi-GB constants get baked into the HLO and sink compilation.
     @jax.jit
-    def sample(key):
+    def sample(params, cond, uc, key):
+        def net(x, c_noise, c, **kw):
+            return dit_forward(params, cfg, x, c_noise, c["crossattn"],
+                               ref_concat=c["ref_concat"],
+                               concat_smpl_render=c["concat_smpl_render"],
+                               image_clip_features=c["image_clip_features"])
+
+        def denoise_fn(x, sigma, c, cfg_scale=None, **kw):
+            return denoiser(net, x, sigma, c)
+
         x0 = jax.random.normal(key, (1, T, 16, H, W), jnp.float32)
         return sampler(denoise_fn, x0, cond, uc=uc)
 
     print("compiling + sampling ...", flush=True)
     t0 = time.perf_counter()
-    z = sample(jax.random.PRNGKey(7))
+    z = sample(params, cond, uc, jax.random.PRNGKey(7))
     z_np = np.asarray(z[0, 0, 0, 0, :2])
     t_sample_total = time.perf_counter() - t0
     print(f"sampling (incl compile): {t_sample_total:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    z = sample(jax.random.PRNGKey(8))
+    z = sample(params, cond, uc, jax.random.PRNGKey(8))
     z_np = np.asarray(z[0, 0, 0, 0, :2])
     t_sample = time.perf_counter() - t0
     print(f"sampling steady: {t_sample:.1f}s "
@@ -99,15 +101,15 @@ def main():
                            init_wan_vae_params(jax.random.PRNGKey(1), vcfg))
 
     @jax.jit
-    def decode(z):
+    def decode(vparams, z):
         return vae_decode(vparams, vcfg, z.astype(jnp.bfloat16), streamed=True)
 
     t0 = time.perf_counter()
-    vid = decode(z)
+    vid = decode(vparams, z)
     _ = np.asarray(vid[0, 0, 0, 0, :2])
     t_dec_total = time.perf_counter() - t0
     t0 = time.perf_counter()
-    vid = decode(z)
+    vid = decode(vparams, z)
     _ = np.asarray(vid[0, 0, 0, 0, :2])
     t_dec = time.perf_counter() - t0
     fps = args.frames / t_dec

@@ -187,6 +187,167 @@ class RFSamplerLong(RFSampler):
         return x
 
 
+# ---------------------------------------------------------------------------
+# EDM / k-diffusion sampler family (sampling.py:89-456) -- part of the sgm
+# sampler zoo.  Each denoises toward x0 (the denoiser output), unlike the RF
+# samplers above which integrate a velocity.
+# ---------------------------------------------------------------------------
+def _to_d(x, sigma, denoised):
+    """(sampling_utils.py:139-141)"""
+    return (x - denoised) / append_dims(sigma, x.ndim)
+
+
+def _ancestral_step_sigmas(sigma_from, sigma_to, eta=1.0):
+    """(sampling_utils.py:127-137)"""
+    if not eta:
+        return sigma_to, jnp.zeros_like(sigma_to)
+    sigma_up = jnp.minimum(
+        sigma_to,
+        eta * (sigma_to ** 2 * (sigma_from ** 2 - sigma_to ** 2)
+               / jnp.maximum(sigma_from ** 2, 1e-20)) ** 0.5,
+    )
+    sigma_down = (sigma_to ** 2 - sigma_up ** 2) ** 0.5
+    return sigma_down, sigma_up
+
+
+class _EDMBase(BaseDiffusionSampler):
+    """Shared loop: x scaled by sqrt(1+sigma0^2) (sampling.py:54), CFG merge
+    outside the scan, per-step `step(x, carry, i, sigma, next_sigma)`."""
+
+    def _denoise_fn_wrap(self, denoise_fn, merged_cond, cfg_scale, kw):
+        def call(x, sigma):
+            x2 = jnp.concatenate([x, x], axis=0)
+            s2 = jnp.concatenate([sigma, sigma], axis=0)
+            out = denoise_fn(x2, s2, merged_cond, cfg_scale=cfg_scale, **kw)
+            return self.guider(out.astype(jnp.float32), sigma[0], scale=cfg_scale)
+
+        return call
+
+    def __call__(self, denoise_fn, x, cond: Dict, uc: Optional[Dict] = None,
+                 num_steps=None, scale=None, **kw):
+        uc = default(uc, cond)
+        sigmas = np.asarray(self.discretization(default(num_steps, self.num_steps)),
+                            np.float32)
+        cfg_scale = default(scale, getattr(self.guider, "scale", 1.0))
+        merged = self.guider.prepare_cond(cond, uc)
+        call = self._denoise_fn_wrap(denoise_fn, merged, cfg_scale, kw)
+        b = x.shape[0]
+        x = x.astype(jnp.float32) * float(np.sqrt(1.0 + sigmas[0] ** 2))
+
+        pairs = jnp.asarray(np.stack([sigmas[:-1], sigmas[1:]], axis=1))
+        carry0 = self.init_carry(x)
+
+        def scan_step(state, pair):
+            x, carry = state
+            s_in = jnp.full((b,), pair[0], jnp.float32)
+            s_next = jnp.full((b,), pair[1], jnp.float32)
+            x, carry = self.step(call, x, carry, s_in, s_next)
+            return (x, carry), None
+
+        (x, _), _ = jax.lax.scan(scan_step, (x, carry0), pairs)
+        return x
+
+    def init_carry(self, x):
+        return jnp.zeros((), jnp.float32)
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        raise NotImplementedError
+
+
+@register(alias="sgm.modules.diffusionmodules.sampling.EulerEDMSampler")
+class EulerEDMSampler(_EDMBase):
+    """(sampling.py:89-136, :258-263); s_churn handled as 0 (the SCAIL-era
+    default -- stochastic churn would need a key plumbed per step)."""
+
+    def __init__(self, s_churn=0.0, s_tmin=0.0, s_tmax=float("inf"), s_noise=1.0, **kw):
+        super().__init__(**kw)
+        assert s_churn == 0.0, "stochastic churn not implemented (unused defaults)"
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        denoised = call(x, sigma)
+        d = _to_d(x, sigma, denoised)
+        return x + append_dims(next_sigma - sigma, x.ndim) * d, carry
+
+
+@register(alias="sgm.modules.diffusionmodules.sampling.HeunEDMSampler")
+class HeunEDMSampler(_EDMBase):
+    """(sampling.py:265-281): 2nd-order correction unless sigma_next == 0."""
+
+    def __init__(self, s_churn=0.0, s_tmin=0.0, s_tmax=float("inf"), s_noise=1.0, **kw):
+        super().__init__(**kw)
+        assert s_churn == 0.0
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        denoised = call(x, sigma)
+        d = _to_d(x, sigma, denoised)
+        dt = append_dims(next_sigma - sigma, x.ndim)
+        euler = x + dt * d
+        safe_next = jnp.maximum(next_sigma, 1e-8)
+        denoised2 = call(euler, safe_next)
+        d2 = _to_d(euler, safe_next, denoised2)
+        heun = x + dt * (d + d2) / 2.0
+        out = jnp.where(append_dims(next_sigma, x.ndim) > 0.0, heun, euler)
+        return out, carry
+
+
+@register(alias="sgm.modules.diffusionmodules.sampling.DPMPP2MSampler")
+class DPMPP2MSampler(_EDMBase):
+    """(sampling.py:334-407): 2nd-order multistep in neg-log-sigma space;
+    carry = previous denoised + previous sigma."""
+
+    def init_carry(self, x):
+        return (jnp.zeros_like(x), jnp.zeros((), jnp.float32))
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        old_denoised, prev_sigma = carry
+        denoised = call(x, sigma)
+        eps = 1e-20
+        t = -jnp.log(jnp.maximum(sigma, eps))
+        t_next = -jnp.log(jnp.maximum(next_sigma, eps))
+        h = t_next - t
+        mult1 = append_dims(jnp.exp(-t_next) / jnp.exp(-t), x.ndim)
+        mult2 = append_dims(jnp.expm1(-h), x.ndim)
+        x_standard = mult1 * x - mult2 * denoised
+
+        h_last = t - (-jnp.log(jnp.maximum(prev_sigma, eps)))
+        r = h_last / jnp.where(h == 0, 1.0, h)
+        mult3 = append_dims(1 + 1 / (2 * r), x.ndim)
+        mult4 = append_dims(1 / (2 * r), x.ndim)
+        denoised_d = mult3 * denoised - mult4 * old_denoised
+        x_advanced = mult1 * x - mult2 * denoised_d
+
+        first = prev_sigma <= 0.0
+        use_std = first | (jnp.sum(next_sigma) < 1e-14)
+        out = jnp.where(use_std, x_standard, x_advanced)
+        return out, (denoised, sigma[0])
+
+
+@register(alias="sgm.modules.diffusionmodules.sampling.EulerAncestralSampler")
+class EulerAncestralSampler(_EDMBase):
+    """(sampling.py:284-292) with a deterministic fold-in noise key."""
+
+    def __init__(self, eta=1.0, s_noise=1.0, seed: int = 0, **kw):
+        super().__init__(**kw)
+        self.eta = eta
+        self.s_noise = s_noise
+        self.seed = seed
+
+    def init_carry(self, x):
+        return jax.random.PRNGKey(self.seed)
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        key, sub = jax.random.split(carry)
+        sigma_down, sigma_up = _ancestral_step_sigmas(sigma, next_sigma, self.eta)
+        denoised = call(x, sigma)
+        d = _to_d(x, sigma, denoised)
+        x = x + append_dims(sigma_down - sigma, x.ndim) * d
+        noise = jax.random.normal(sub, x.shape, x.dtype)
+        x = jnp.where(
+            append_dims(next_sigma, x.ndim) > 0.0,
+            x + noise * self.s_noise * append_dims(sigma_up, x.ndim), x)
+        return x, key
+
+
 def make_tile_indices(num_frames: int, tile: int, overlap: int) -> List[List[int]]:
     """Overlapping temporal tiles covering [0, num_frames)."""
     assert 0 < overlap < tile

@@ -166,6 +166,53 @@ def test_rf_loss_history_mask():
     assert np.allclose(x0, x0[..., :1, :1])  # spatially constant (input==1)
 
 
+def _edm_sampler(cls_target, extra=None):
+    params = {
+        "num_steps": 6,
+        "discretization_config": {
+            "target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",
+            "params": {"sigma_min": 0.1, "sigma_max": 10.0}},
+        "guider_config": {
+            "target": "sgm.modules.diffusionmodules.guiders.VanillaCFG",
+            "params": {"scale": 1.0}},
+    }
+    params.update(extra or {})
+    return instantiate_from_config({"target": cls_target, "params": params})
+
+
+def _linear_denoiser(x, sigma, cond, cfg_scale=None, **kw):
+    # x0-prediction: denoised = 0.5 * x (both CFG halves identical)
+    return 0.5 * x
+
+
+def test_edm_samplers_run_and_converge():
+    """Euler/Heun/DPM++2M drive x toward the denoiser's fixed point; Heun
+    should land closer to the exact ODE than Euler."""
+    import numpy as _np
+
+    from scail_tpu.diffusion.samplers import (DPMPP2MSampler, EulerAncestralSampler,
+                                              EulerEDMSampler, HeunEDMSampler)
+
+    x0 = jnp.ones((1, 2, 4, 4), jnp.float32)
+    cond = {"crossattn": jnp.zeros((1, 1, 8))}
+    outs = {}
+    for name, cls in [("euler", "sgm.modules.diffusionmodules.sampling.EulerEDMSampler"),
+                      ("heun", "sgm.modules.diffusionmodules.sampling.HeunEDMSampler"),
+                      ("dpmpp2m", "sgm.modules.diffusionmodules.sampling.DPMPP2MSampler"),
+                      ("euler_a", "sgm.modules.diffusionmodules.sampling.EulerAncestralSampler")]:
+        sampler = _edm_sampler(cls)
+        out = _np.asarray(sampler(_linear_denoiser, x0, cond))
+        assert _np.all(_np.isfinite(out)), name
+        outs[name] = out
+
+    # exact ODE for denoised = c*x: dx/dsigma = (1-c) x / sigma
+    # -> x(sig_end)/x(sig_start) = (sig_end/sig_start)^(1-c); sig_end=0 -> 0
+    # with append_zero final step, the last Euler step jumps to denoised(x)
+    assert abs(outs["euler"]).max() < abs(float(jnp.sqrt(1 + 10.0 ** 2))) * 1.0
+    # Heun (2nd order) differs from Euler
+    assert not _np.allclose(outs["euler"], outs["heun"])
+
+
 def test_registry_roundtrip_reference_targets():
     obj = instantiate_from_config({
         "target": "sgm.modules.diffusionmodules.sampling.RFSampler",

@@ -322,6 +322,31 @@ class DPMPP2MSampler(_EDMBase):
         return out, (denoised, sigma[0])
 
 
+@register(alias="sgm.modules.diffusionmodules.sampling.DDIMSampler")
+class DDIMSampler(_EDMBase):
+    """(sampling.py:140-178): Euler step with optional s_noise stochasticity."""
+
+    def __init__(self, s_noise=0.1, seed: int = 0, **kw):
+        super().__init__(**kw)
+        self.s_noise = s_noise
+        self.seed = seed
+
+    def init_carry(self, x):
+        return jax.random.PRNGKey(self.seed)
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        key, sub = jax.random.split(carry)
+        denoised = call(x, sigma)
+        d = _to_d(x, sigma, denoised)
+        dt = append_dims(
+            next_sigma * (1 - self.s_noise ** 2) ** 0.5 - sigma, x.ndim)
+        x = x + dt * d
+        if self.s_noise > 0:
+            x = x + (self.s_noise * append_dims(next_sigma, x.ndim)
+                     * jax.random.normal(sub, x.shape, x.dtype))
+        return x, key
+
+
 @register(alias="sgm.modules.diffusionmodules.sampling.EulerAncestralSampler")
 class EulerAncestralSampler(_EDMBase):
     """(sampling.py:284-292) with a deterministic fold-in noise key."""

@@ -119,6 +119,30 @@ class VideoDiffusionEngine:
         self.params["dit"] = dit_params_from_state_dict(sd, self.network.config)
         return self.params
 
+    def load_orbax(self, bundle_dir: str):
+        """Load a converted Orbax bundle (scripts/convert_checkpoint.py)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        bundle_dir = os.path.abspath(bundle_dir)
+        if os.path.isdir(os.path.join(bundle_dir, "dit")):
+            self.params["dit"] = ckptr.restore(os.path.join(bundle_dir, "dit"))
+        if (self.first_stage_model is not None
+                and os.path.isdir(os.path.join(bundle_dir, "vae"))):
+            self.first_stage_model.params = ckptr.restore(
+                os.path.join(bundle_dir, "vae"))
+        if (self.i2v_clip is not None
+                and os.path.isdir(os.path.join(bundle_dir, "clip"))):
+            self.i2v_clip.params = ckptr.restore(os.path.join(bundle_dir, "clip"))
+        if self.conditioner is not None:
+            for emb in getattr(self.conditioner, "embedders", []):
+                if hasattr(emb, "params") and os.path.isdir(
+                        os.path.join(bundle_dir, "umt5")):
+                    emb.params = ckptr.restore(os.path.join(bundle_dir, "umt5"))
+        return self.params
+
     def shard_params(self, mesh):
         from scail_tpu.parallel.sharding import shard_tree
 

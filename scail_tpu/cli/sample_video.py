@@ -167,7 +167,22 @@ def sampling_main(args, model_config):
             f.write(meta["prompt"])
 
         key = jax.random.PRNGKey(args.seed + cnt)
-        samples_z = engine.sample(key, c, uc=uc, batch_size=1, shape=shape)
+        sample_kw = {}
+        from scail_tpu.diffusion.samplers import RFSamplerLong, make_tile_indices
+
+        if isinstance(engine.sampler, RFSamplerLong):
+            # temporal tiling for long clips (sampling.py:986-1084): tiles of
+            # `long_tile` latent frames, per-tile pose conditioning
+            tile = int(getattr(args, "long_tile", 21))
+            overlap = int(getattr(args, "long_overlap", 8))
+            tiles = make_tile_indices(shape[0], tile, overlap)
+            smpl = c["concat_smpl_render"]
+            smpl_tiled = jnp.stack([smpl[:, jnp.asarray(t)] for t in tiles], axis=1)
+            c["smpl_tiled"] = smpl_tiled
+            uc["smpl_tiled"] = smpl_tiled
+            sample_kw["tile_indices"] = tiles
+        samples_z = engine.sample(key, c, uc=uc, batch_size=1, shape=shape,
+                                  **sample_kw)
         samples_x = engine.decode_first_stage(samples_z)
         samples = np.clip((np.asarray(samples_x) + 1.0) / 2.0, 0.0, 1.0)
 

@@ -29,7 +29,7 @@ config and is not implemented.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Optional, Tuple
 
 import jax

@@ -46,6 +46,7 @@ class TrainConfig:
     save_dir: Optional[str] = None
     seed: int = 1234
     skip_nan: bool = True
+    check_param_sync_interval: Optional[int] = None  # (:245-296)
 
 
 class Trainer:
@@ -181,6 +182,12 @@ class Trainer:
             if (eval_data_iter is not None and eval_loss_fn is not None
                     and step % cfg.eval_interval == 0):
                 self.evaluate(eval_data_iter, eval_loss_fn)
+            if (cfg.check_param_sync_interval
+                    and step % cfg.check_param_sync_interval == 0):
+                from scail_tpu.training.sync import check_param_sync
+
+                drift = check_param_sync(self.state["params"])
+                print_rank0(f"param sync check at iter {step}: max drift {drift}")
             if cfg.exit_interval and step % cfg.exit_interval == 0:
                 print_rank0(f"exit-interval hit at iter {step}; clean exit")
                 break

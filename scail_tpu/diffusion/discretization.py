@@ -79,6 +79,53 @@ class EDMDiscretization:
         return (sigmas, None) if return_idx else sigmas
 
 
+@register(alias="sgm.modules.diffusionmodules.discretizer.ZeroSNRDDPMDiscretization")
+class ZeroSNRDDPMDiscretization:
+    """DDPM alphas_cumprod_sqrt rescaled so the final step has zero SNR
+    (discretizer.py:77-129); returns sqrt(alpha_cumprod) ladders used by
+    VideoDDIMSampler / VideoScaling (CogVideo lineage)."""
+
+    def __init__(self, linear_start=0.00085, linear_end=0.0120,
+                 num_timesteps=1000, shift_scale=1.0, keep_start=False,
+                 post_shift=False):
+        if keep_start and not post_shift:
+            linear_start = linear_start / (shift_scale + (1 - shift_scale) * linear_start)
+        self.num_timesteps = num_timesteps
+        betas = np.linspace(linear_start ** 0.5, linear_end ** 0.5,
+                            num_timesteps, dtype=np.float64) ** 2
+        self.alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+        if not post_shift:
+            self.alphas_cumprod = self.alphas_cumprod / (
+                shift_scale + (1 - shift_scale) * self.alphas_cumprod)
+        self.post_shift = post_shift
+        self.shift_scale = shift_scale
+
+    def get_sigmas(self, n: int, return_idx: bool = False):
+        if n < self.num_timesteps:
+            timesteps = generate_roughly_equally_spaced_steps(n, self.num_timesteps)
+            ac = self.alphas_cumprod[timesteps]
+        elif n == self.num_timesteps:
+            ac = self.alphas_cumprod
+            timesteps = np.arange(n)
+        else:
+            raise ValueError(n)
+        s = np.sqrt(ac)
+        s0, sT = s[0], s[-1]
+        s = (s - sT) * s0 / (s0 - sT)  # zero terminal SNR rescale
+        if self.post_shift:
+            s = np.sqrt(s ** 2 / (self.shift_scale + (1 - self.shift_scale) * s ** 2))
+        s = np.flip(s, 0).astype(np.float32).copy()
+        return (s, timesteps) if return_idx else s
+
+    def __call__(self, n, do_append_zero=True, flip=False, return_idx=False):
+        out = self.get_sigmas(n, return_idx=return_idx)
+        sigmas, idx = out if return_idx else (out, None)
+        # NOTE: for alphas_cumprod_sqrt ladders append_zero appends alpha=1
+        # at the caller (VideoDDIMSampler.prepare_sampling_loop)
+        sigmas = np.flip(sigmas, 0).copy() if flip else sigmas
+        return (sigmas, idx) if return_idx else sigmas
+
+
 @register(alias="sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization")
 class LegacyDDPMDiscretization:
     def __init__(self, linear_start=0.00085, linear_end=0.0120, num_timesteps=1000):

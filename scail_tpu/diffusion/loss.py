@@ -59,6 +59,87 @@ def _time_shift_traced(mu: float, t):
     return math.exp(mu) / (math.exp(mu) + 1.0 / t - 1.0)
 
 
+def guidance_scale_embedding(w, embedding_dim: int = 512):
+    """Sinusoidal guidance-scale embedding, [sin|cos] order, w*1000
+    (loss.py:533-551)."""
+    import math as _math
+
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half = embedding_dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-_math.log(10000.0) / (half - 1)))
+    emb = w[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+@register(alias="sgm.modules.diffusionmodules.loss.PDDiffusionLoss")
+class PDDiffusionLoss(StandardDiffusionLoss):
+    """Progressive-distillation loss (loss.py:421-530): the student learns
+    to match TWO teacher DDIM steps in one, at a random guidance scale.
+
+    Works over the alphas_cumprod_sqrt parametrization (VideoScaling +
+    ZeroSNRDDPMDiscretization); `teacher_fn` is the frozen teacher network.
+    """
+
+    def __init__(self, type: str = "l2", discretization_config=None,
+                 num_idx: int = 1000, add_dsm_loss: bool = False, **kw):
+        super().__init__(type=type, **kw)
+        import numpy as _np
+
+        disc = instantiate_from_config(discretization_config)
+        ac, timesteps = disc(num_idx, do_append_zero=False, flip=True, return_idx=True)
+        # prepend the clean endpoint (loss.py:452-453)
+        self.ac_all = jnp.asarray(
+            _np.concatenate([[1.0], _np.asarray(ac, _np.float32)]))
+        self.timesteps = jnp.asarray(
+            _np.concatenate([[-1], _np.asarray(timesteps)]).astype(_np.int32))
+        self.num_idx = num_idx
+        self.add_dsm_loss = add_dsm_loss
+
+    def __call__(self, key, network_fn, denoiser, cond: Dict, input, *,
+                 teacher_fn, uncond: Optional[Dict] = None, **model_kwargs):
+        b = input.shape[0]
+        k_rand, k_scale, k_noise = jax.random.split(key, 3)
+        # random even index and guidance scale (loss.py:470-475)
+        rand = jax.random.randint(k_rand, (b,), 1, self.num_idx // 2 + 1) * 2
+        scale = 1.5 + jax.random.uniform(k_scale, (b,)) * 7.5
+        ac = self.ac_all[rand]
+        ac_next = self.ac_all[rand - 1]
+        ac_nn = self.ac_all[rand - 2]
+        noise = jax.random.normal(k_noise, input.shape, jnp.float32)
+
+        inp = input.astype(jnp.float32)
+        noised = (inp * append_dims(ac, inp.ndim)
+                  + noise * append_dims((1 - ac ** 2) ** 0.5, inp.ndim))
+
+        # student prediction at guidance scale `scale` (loss.py:498-501)
+        out = denoiser(network_fn, noised, ac, cond,
+                       idx=self.timesteps[rand], cfg_scale=scale, **model_kwargs)
+
+        # teacher: two DDIM steps, no CFG (scale==1 path, sampling.py:558-563)
+        def ddim_step(x, a, a_next, idx):
+            den = denoiser(teacher_fn, x, a, cond, idx=idx, **model_kwargs)
+            a_t = append_dims(((1 - a_next ** 2) / (1 - a ** 2)) ** 0.5, x.ndim)
+            b_t = append_dims(a_next, x.ndim) - append_dims(a, x.ndim) * a_t
+            return a_t * x + b_t * den
+
+        x_next = jax.lax.stop_gradient(
+            ddim_step(noised, ac, ac_next, self.timesteps[rand]))
+        x_nn = jax.lax.stop_gradient(
+            ddim_step(x_next, ac_next, ac_nn, self.timesteps[rand - 1]))
+        a_t = (1 - ac_nn ** 2) ** 0.5 / (1 - ac ** 2) ** 0.5
+        target = (x_nn - append_dims(a_t, inp.ndim) * noised) / append_dims(
+            ac_nn - a_t * ac, inp.ndim)
+
+        w = append_dims(1.0 / (1 - ac ** 2), inp.ndim)  # v-pred weighting
+        loss = self.get_loss(out, target, w)
+        if self.add_dsm_loss:
+            loss = loss + 0.001 * self.get_loss(out, inp, w)
+        return loss
+
+
 @register(alias="sgm.modules.diffusionmodules.loss.RFLoss")
 class RFLoss(StandardDiffusionLoss):
     def __init__(self, schedule_shift: bool = False, **kw):

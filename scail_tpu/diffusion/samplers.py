@@ -373,6 +373,51 @@ class EulerAncestralSampler(_EDMBase):
         return x, key
 
 
+@register(alias="sgm.modules.diffusionmodules.sampling.VideoDDIMSampler")
+class VideoDDIMSampler(BaseDiffusionSampler):
+    """DDIM over alphas_cumprod_sqrt parametrization (sampling.py:529-607,
+    CogVideo lineage) — the sampler the PD distillation loss steps with.
+
+    denoise_fn here receives alphas_cumprod_sqrt as its 'sigma' and an
+    `idx` kwarg (the VideoScaling c_noise)."""
+
+    def prepare_sampling_loop(self, x, num_steps=None):
+        ac_sqrt, timesteps = self.discretization(
+            default(num_steps, self.num_steps), return_idx=True)
+        ac_sqrt = np.concatenate([np.asarray(ac_sqrt, np.float32), np.ones((1,), np.float32)])
+        timesteps = np.concatenate([np.full((1,), -1, np.int64), np.asarray(timesteps)])
+        return ac_sqrt, timesteps
+
+    def sampler_step(self, denoise_fn, x, cond, uc, ac, ac_next, timestep,
+                     cfg_scale, **kw):
+        b = x.shape[0]
+        a_in = jnp.full((b,), ac, jnp.float32)
+        merged = self.guider.prepare_cond(cond, uc)
+        x2 = jnp.concatenate([x, x], axis=0)
+        a2 = jnp.concatenate([a_in, a_in], axis=0)
+        idx = jnp.full((2 * b,), timestep, jnp.float32)
+        out = denoise_fn(x2, a2, merged, idx=idx, cfg_scale=cfg_scale, **kw)
+        denoised = self.guider(out.astype(jnp.float32),
+                               (1 - ac ** 2) ** 0.5, scale=cfg_scale)
+        a_t = ((1 - ac_next ** 2) / (1 - ac ** 2)) ** 0.5
+        b_t = ac_next - ac * a_t
+        return a_t * x + b_t * denoised
+
+    def __call__(self, denoise_fn, x, cond: Dict, uc: Optional[Dict] = None,
+                 num_steps=None, scale=None, **kw):
+        uc = default(uc, cond)
+        cfg_scale = default(scale, getattr(self.guider, "scale", 1.0))
+        ac_sqrt, timesteps = self.prepare_sampling_loop(x, num_steps)
+        n = default(num_steps, self.num_steps)
+        x = x.astype(jnp.float32)
+        for i in range(len(ac_sqrt) - 1):
+            x = self.sampler_step(
+                denoise_fn, x, cond, uc,
+                float(ac_sqrt[i]), float(ac_sqrt[i + 1]),
+                float(timesteps[-(i + 1)]), cfg_scale, **kw)
+        return x
+
+
 def make_tile_indices(num_frames: int, tile: int, overlap: int) -> List[List[int]]:
     """Overlapping temporal tiles covering [0, num_frames)."""
     assert 0 < overlap < tile

@@ -159,6 +159,9 @@ class VideoDiffusionEngine:
         def fn(x, c_noise, cond: Dict, **kw):
             if "concat" in cond:  # channel concat on dim 2 for 5D input
                 x = jnp.concatenate([x, cond["concat"].astype(x.dtype)], axis=2)
+            extra = {}
+            if cfg.cfg_embed_dim and kw.get("cfg_scale") is not None:
+                extra["cfg_scale"] = kw["cfg_scale"]
             return self.network.apply(
                 params, x, c_noise, cond["crossattn"],
                 ref_concat=cond["ref_concat"],
@@ -166,6 +169,7 @@ class VideoDiffusionEngine:
                 image_clip_features=cond.get("image_clip_features"),
                 history_mask=kw.get("history_mask"),
                 mesh=self.mesh,
+                **extra,
             )
 
         return fn

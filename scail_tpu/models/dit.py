@@ -68,6 +68,7 @@ class DiTConfig:
     time_embed_dim: int = 5120
     clip_dim: int = 1280
     clip_tokens: int = 257
+    cfg_embed_dim: Optional[int] = None  # guidance-scale conditioning (dit:1538-1549)
     share_adaln: bool = True
     use_i2v_clip: bool = True
     qk_ln: bool = True
@@ -112,6 +113,7 @@ class DiTConfig:
             share_adaln=p.get("share_adaln", False),
             use_i2v_clip=p.get("use_i2v_clip", False),
             clip_dim=p.get("clip_dim", 1280),
+            cfg_embed_dim=p.get("cfg_embed_dim"),
             qk_ln=adaln.get("qk_ln", True),
             qk_ln_affine=adaln.get("qk_ln_affine", True),
             elementwise_affine=p.get("elementwise_affine", False),
@@ -174,6 +176,13 @@ def init_dit_params(key, cfg: DiTConfig):
             "fc1": dense_init(next(keys), cfg.clip_dim, cfg.clip_dim),
             "fc2": dense_init(next(keys), cfg.clip_dim, h),
             "ln_out": ln_affine(h),
+        }
+    if cfg.cfg_embed_dim:
+        # guidance-scale embedding MLP, zero-init output (dit:1350-1355)
+        params["cfg_embed"] = {
+            "fc1": dense_init(next(keys), cfg.time_freq_dim, cfg.cfg_embed_dim),
+            "fc2": dense_init(next(keys), cfg.cfg_embed_dim, cfg.cfg_embed_dim,
+                              zero=True),
         }
 
     lp = {
@@ -276,6 +285,7 @@ def dit_forward(
     concat_smpl_render,     # (b, T, 16, H/2, W/2) half-res pose latent
     image_clip_features: Optional[jnp.ndarray] = None,  # (b, 257, 1280)
     history_mask: Optional[jnp.ndarray] = None,          # (b, T, 4, H, W)
+    cfg_scale=None,          # guidance-scale cond (needs cfg_embed_dim)
     h_shift: int = 0,
     w_shift: int = 0,       # sequence-parallel RoPE shifts (dit:1576-1585)
     mesh=None,
@@ -324,6 +334,13 @@ def dit_forward(
     t_emb = timestep_embedding(timesteps, cfg.time_freq_dim, dtype=cdtype)
     emb = dense(params["time_embed"]["fc2"],
                 silu(dense(params["time_embed"]["fc1"], t_emb)))  # (b, te)
+    if cfg.cfg_embed_dim and cfg_scale is not None:
+        # guidance-scale conditioning for distilled models (dit:1538-1549)
+        cs = jnp.broadcast_to(jnp.asarray(cfg_scale, jnp.float32).reshape(-1), (b,))
+        cfg_emb = timestep_embedding(cs, cfg.time_freq_dim, dtype=cdtype)
+        cfg_emb = dense(params["cfg_embed"]["fc2"],
+                        silu(dense(params["cfg_embed"]["fc1"], cfg_emb)))
+        emb = emb + cfg_emb
 
     if cfg.share_adaln:
         adaln_emb = dense(params["adaln_projection"]["fc"], silu(emb))  # (b, 6h)
@@ -417,7 +434,11 @@ def dit_forward(
         return hidden, None
 
     body = jax.checkpoint(layer_fn) if cfg.remat else layer_fn
-    layer_params = jax.tree.map(lambda p: p.astype(cdtype), params["layers"])
+    # cast float leaves only (int8/uint8 quantized kernels keep their dtype)
+    layer_params = jax.tree.map(
+        lambda p: p.astype(cdtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params["layers"],
+    )
     hidden, _ = jax.lax.scan(body, hidden, layer_params)
 
     # ---- final layer (dit:818-835)

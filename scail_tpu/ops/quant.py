@@ -77,7 +77,7 @@ def _w8a16_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k):
 
     @pl.when(ki == n_k - 1)
     def _():
-        o_ref[0] = (acc_ref[:] * s_ref[:][None, :].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] * s_ref[0][None, :].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _matmul_w8a16_pallas(x, qw, scale, block_m=256, block_n=512, block_k=512):
@@ -91,6 +91,8 @@ def _matmul_w8a16_pallas(x, qw, scale, block_m=256, block_n=512, block_k=512):
         qw = jnp.pad(qw, ((0, pk), (0, pn)))
     if pn:
         scale = jnp.pad(scale, (0, pn))
+    # 2D scale: 1D operands hit XLA/Mosaic layout mismatches on some shapes
+    scale2 = scale.astype(jnp.float32).reshape(1, -1)
     nm, nk, nn = x.shape[1] // block_m, x.shape[2] // block_k, qw.shape[1] // block_n
 
     out = pl.pallas_call(
@@ -102,7 +104,7 @@ def _matmul_w8a16_pallas(x, qw, scale, block_m=256, block_n=512, block_k=512):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda bm, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda bm, ni, ki: (ni,),
+            pl.BlockSpec((1, block_n), lambda bm, ni, ki: (0, ni),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_m, block_n),
@@ -112,7 +114,7 @@ def _matmul_w8a16_pallas(x, qw, scale, block_m=256, block_n=512, block_k=512):
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(x, qw, scale)
+    )(x, qw, scale2)
     return out[:, :M, :N]
 
 

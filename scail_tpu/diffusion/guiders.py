@@ -80,6 +80,13 @@ class DynamicCFG(VanillaCFG):
             1 - math.cos(math.pi * (step_index / self.num_steps) ** self.exp)
         ) / 2.0
 
+    def __call__(self, x, sigma=None, step_index=None, scale=None):
+        # the reference's DynamicCFG always uses its schedule, ignoring any
+        # externally passed scale (guiders.py:71-76)
+        x_u, x_c = jnp.split(x, 2, axis=0)
+        s = self.scale_at(sigma, step_index)
+        return x_u + s * (x_c - x_u)
+
 
 @register(alias="sgm.modules.diffusionmodules.guiders.IdentityGuider")
 class IdentityGuider:

@@ -397,8 +397,10 @@ class VideoDDIMSampler(BaseDiffusionSampler):
         a2 = jnp.concatenate([a_in, a_in], axis=0)
         idx = jnp.full((2 * b,), timestep, jnp.float32)
         out = denoise_fn(x2, a2, merged, idx=idx, cfg_scale=cfg_scale, **kw)
-        denoised = self.guider(out.astype(jnp.float32),
-                               (1 - ac ** 2) ** 0.5, scale=cfg_scale)
+        # DynamicCFG ramps over steps (sampling.py:569-572)
+        denoised = self.guider(out.astype(jnp.float32), (1 - ac ** 2) ** 0.5,
+                               step_index=max(self.num_steps - timestep, 0),
+                               scale=cfg_scale)
         a_t = ((1 - ac_next ** 2) / (1 - ac ** 2)) ** 0.5
         b_t = ac_next - ac * a_t
         return a_t * x + b_t * denoised

@@ -213,6 +213,42 @@ def test_edm_samplers_run_and_converge():
     assert not _np.allclose(outs["euler"], outs["heun"])
 
 
+def test_video_ddim_sampler_runs():
+    from scail_tpu.diffusion.samplers import VideoDDIMSampler
+
+    sampler = instantiate_from_config({
+        "target": "sgm.modules.diffusionmodules.sampling.VideoDDIMSampler",
+        "params": {
+            "num_steps": 4,
+            "discretization_config": {
+                "target": "sgm.modules.diffusionmodules.discretizer.ZeroSNRDDPMDiscretization"},
+            "guider_config": {
+                "target": "sgm.modules.diffusionmodules.guiders.DynamicCFG",
+                "params": {"scale": 4, "exp": 5, "num_steps": 4}},
+        },
+    })
+    assert isinstance(sampler, VideoDDIMSampler)
+    x0 = jnp.ones((1, 2, 4, 4), jnp.float32)
+
+    def denoise_fn(x, ac, cond, idx=None, cfg_scale=None, **kw):
+        return 0.5 * x
+
+    out = np.asarray(sampler(denoise_fn, x0, {"crossattn": jnp.zeros((1, 1, 8))}))
+    assert out.shape == (1, 2, 4, 4)
+    assert np.all(np.isfinite(out))
+
+
+def test_zero_snr_discretization():
+    from scail_tpu.diffusion.discretization import ZeroSNRDDPMDiscretization
+
+    d = ZeroSNRDDPMDiscretization()
+    s, idx = d(50, do_append_zero=False, flip=True, return_idx=True)
+    assert len(s) == 50 and len(idx) == 50
+    # zero terminal SNR: the noisiest alpha is exactly 0
+    assert min(abs(s)) < 1e-7
+    assert max(s) < 1.0
+
+
 def test_registry_roundtrip_reference_targets():
     obj = instantiate_from_config({
         "target": "sgm.modules.diffusionmodules.sampling.RFSampler",

@@ -42,6 +42,9 @@ def _flops_per_forward(cfg, batch, S, s_txt, s_clip, T, Hp, Wp):
 
 
 def main():
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 

@@ -78,7 +78,7 @@ def prepare_case(engine, args, text: str):
         raise FileNotFoundError(
             f"pose video not found in {input_dir} (run SCAIL-Pose first)")
 
-    gt_path = find_file_with_patterns(input_dir, ["GT.mp4"])
+    gt_path = find_file_with_patterns(input_dir, ["GT.mp4", "GT.gif", "GT.npz"])
     gt = None
     if gt_path:
         frames, _ = load_video_frames(gt_path)
@@ -206,6 +206,9 @@ def sampling_main(args, model_config):
 
 
 def main(argv=None):
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args, model_config = get_args(argv)
     sampling_main(args, model_config)
 

@@ -46,6 +46,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_argparser().parse_args(argv)
     cfg = load_configs(args.base)
     _, model_cfg = split_reference_config(cfg)

@@ -42,6 +42,9 @@ def _rand_int8_dense(key, shape_in, shape_out, prefix=()):
 
 
 def main():
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--cfg-batch", type=int, default=2)

@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--frames", type=int, default=81)

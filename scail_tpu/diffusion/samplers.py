@@ -322,6 +322,46 @@ class DPMPP2MSampler(_EDMBase):
         return out, (denoised, sigma[0])
 
 
+@register(alias="sgm.modules.diffusionmodules.sampling.SDEDPMPP2MSampler")
+class SDEDPMPP2MSampler(_EDMBase):
+    """Stochastic DPM++ 2M (sampling.py:410-467); carry = (old_denoised,
+    prev_sigma, key)."""
+
+    def __init__(self, seed: int = 0, **kw):
+        super().__init__(**kw)
+        self.seed = seed
+
+    def init_carry(self, x):
+        return (jnp.zeros_like(x), jnp.zeros((), jnp.float32),
+                jax.random.PRNGKey(self.seed))
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        old_denoised, prev_sigma, key = carry
+        key, sub = jax.random.split(key)
+        denoised = call(x, sigma)
+        eps = 1e-20
+        t = -jnp.log(jnp.maximum(sigma, eps))
+        t_next = -jnp.log(jnp.maximum(next_sigma, eps))
+        h = t_next - t
+        mult1 = append_dims(jnp.exp(-t_next) / jnp.exp(-t) * jnp.exp(-h), x.ndim)
+        mult2 = append_dims(jnp.expm1(-2 * h), x.ndim)
+        mult_noise = append_dims(
+            next_sigma * jnp.sqrt(jnp.maximum(1 - jnp.exp(-2 * h), 0.0)), x.ndim)
+        noise = jax.random.normal(sub, x.shape, x.dtype)
+
+        x_standard = mult1 * x - mult2 * denoised + mult_noise * noise
+        h_last = t - (-jnp.log(jnp.maximum(prev_sigma, eps)))
+        r = h_last / jnp.where(h == 0, 1.0, h)
+        mult3 = append_dims(1 + 1 / (2 * r), x.ndim)
+        mult4 = append_dims(1 / (2 * r), x.ndim)
+        denoised_d = mult3 * denoised - mult4 * old_denoised
+        x_advanced = mult1 * x - mult2 * denoised_d + mult_noise * noise
+
+        use_std = (prev_sigma <= 0.0) | (jnp.sum(next_sigma) < 1e-14)
+        out = jnp.where(use_std, x_standard, x_advanced)
+        return out, (denoised, sigma[0], key)
+
+
 @register(alias="sgm.modules.diffusionmodules.sampling.DDIMSampler")
 class DDIMSampler(_EDMBase):
     """(sampling.py:140-178): Euler step with optional s_noise stochasticity."""

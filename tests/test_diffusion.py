@@ -199,6 +199,8 @@ def test_edm_samplers_run_and_converge():
     for name, cls in [("euler", "sgm.modules.diffusionmodules.sampling.EulerEDMSampler"),
                       ("heun", "sgm.modules.diffusionmodules.sampling.HeunEDMSampler"),
                       ("dpmpp2m", "sgm.modules.diffusionmodules.sampling.DPMPP2MSampler"),
+                      ("sde_dpmpp2m", "sgm.modules.diffusionmodules.sampling.SDEDPMPP2MSampler"),
+                      ("ddim", "sgm.modules.diffusionmodules.sampling.DDIMSampler"),
                       ("euler_a", "sgm.modules.diffusionmodules.sampling.EulerAncestralSampler")]:
         sampler = _edm_sampler(cls)
         out = _np.asarray(sampler(_linear_denoiser, x0, cond))

@@ -92,6 +92,49 @@ def test_dit_random_init_runs_and_differentiable(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_dit_non_shared_adaln_path(rng):
+    """share_adaln=False uses per-layer SiLU+Linear modulations (dit:880-886,
+    :809-812); forward + grads must work."""
+    cfg = tiny_cfg(share_adaln=False)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    assert "adaln_mlp" in params["layers"] and "adaln" not in params["layers"]
+    assert "adaln_mlp" in params["final_layer"]
+    inp = make_inputs(rng)
+    out = dit_forward(
+        params, cfg, jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]),
+        jnp.asarray(inp["context"]), ref_concat=jnp.asarray(inp["ref_concat"]),
+        concat_smpl_render=jnp.asarray(inp["pose"]),
+        image_clip_features=jnp.asarray(inp["clip"]),
+    )
+    assert out.shape == (1, 2, 16, 8, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dit_cfg_scale_conditioning(rng):
+    """cfg_embed_dim routes a guidance-scale embedding into the time emb
+    (dit:1538-1549); different scales give different outputs."""
+    cfg = tiny_cfg(cfg_embed_dim=32)  # must equal time_embed_dim (added to emb)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    # zero-init output layer -> scale must be invisible until trained
+    inp = make_inputs(rng)
+    kw = dict(ref_concat=jnp.asarray(inp["ref_concat"]),
+              concat_smpl_render=jnp.asarray(inp["pose"]),
+              image_clip_features=jnp.asarray(inp["clip"]))
+    o1 = dit_forward(params, cfg, jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]),
+                     jnp.asarray(inp["context"]), cfg_scale=2.0, **kw)
+    o2 = dit_forward(params, cfg, jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]),
+                     jnp.asarray(inp["context"]), cfg_scale=8.0, **kw)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    # after perturbing the zero-init layer the scale must matter
+    params["cfg_embed"]["fc2"]["kernel"] = 0.1 * jnp.ones_like(
+        params["cfg_embed"]["fc2"]["kernel"])
+    o3 = dit_forward(params, cfg, jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]),
+                     jnp.asarray(inp["context"]), cfg_scale=2.0, **kw)
+    o4 = dit_forward(params, cfg, jnp.asarray(inp["x"]), jnp.asarray(inp["timesteps"]),
+                     jnp.asarray(inp["context"]), cfg_scale=8.0, **kw)
+    assert not np.allclose(np.asarray(o3), np.asarray(o4))
+
+
 def test_dit_from_network_config_yaml_block():
     params = dict(
         time_freq_dim=256, time_embed_dim=5120, share_adaln=True,

@@ -412,17 +412,23 @@ def dit_forward(
         # cross attention has short replicated KV: plain SPMD attention even
         # under Ulysses (the reference also keeps cross-attn un-Ulyssed)
         cross_impl = "auto" if cfg.attn_impl == "ulysses" else cfg.attn_impl
-        cross = attention(cqh, _split_heads(ck, n_heads), _split_heads(cv, n_heads),
-                          impl=cross_impl)
         if cfg.use_i2v_clip:
+            # text and CLIP streams share q and their results are summed
+            # (dit:1159-1197) -- fused into one kernel on TPU
             kv_clip = dense(lp["clip_kv"], clip_tokens)
             pk, pv = jnp.split(kv_clip, 2, axis=-1)
             if cfg.qk_ln:
                 pk = rms_norm(pk, lp["clip_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
-            cross = cross + attention(
-                cqh, _split_heads(pk, n_heads), _split_heads(pv, n_heads),
+            from scail_tpu.ops.attention import dual_cross_attention
+
+            cross = dual_cross_attention(
+                cqh, _split_heads(ck, n_heads), _split_heads(cv, n_heads),
+                _split_heads(pk, n_heads), _split_heads(pv, n_heads),
                 impl=cross_impl,
             )
+        else:
+            cross = attention(cqh, _split_heads(ck, n_heads),
+                              _split_heads(cv, n_heads), impl=cross_impl)
         hidden = hidden + dense(lp["cross_out"], _merge_heads(cross))
 
         # ---- MLP (dit:1044-1050)

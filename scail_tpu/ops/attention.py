@@ -322,6 +322,111 @@ def _attention_pallas(q, k, v, scale, block_q=1024, block_k=1024):
     return ot.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 
+# --------------------------------------------------------------------------
+# Fused dual cross-attention: the SCAIL DiT attends the same queries over
+# text KV and CLIP KV and SUMS the two results (dit:1159-1197).  Both KVs are
+# short (<=512 tokens), so one kernel computes both exact softmaxes per query
+# block and writes the summed output -- one q read and one o write instead of
+# two of each, and half the kernel dispatches.
+# --------------------------------------------------------------------------
+def _dual_cross_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, o_ref,
+                       *, scale, kv1_len, kv2_len):
+    q = q_ref[0]
+
+    def one(k_ref, v_ref, kv_len):
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return o / l
+
+    o_ref[0] = (one(k1_ref, v1_ref, kv1_len)
+                + one(k2_ref, v2_ref, kv2_len)).astype(o_ref.dtype)
+
+
+def _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale, block_q=1024):
+    b, sq, n, d = q.shape
+
+    def pad_kv(k):
+        skv = k.shape[1]
+        p = (-skv) % 128
+        return (jnp.pad(k, ((0, 0), (0, p), (0, 0), (0, 0))) if p else k), skv
+
+    k1p, s1 = pad_kv(k1)
+    v1p, _ = pad_kv(v1)
+    k2p, s2 = pad_kv(k2)
+    v2p, _ = pad_kv(v2)
+    pq = (-sq) % block_q
+    qp = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))) if pq else q
+
+    qt = qp.transpose(0, 2, 1, 3).reshape(b * n, qp.shape[1], d)
+    kvs = [t.transpose(0, 2, 1, 3).reshape(b * n, t.shape[1], d)
+           for t in (k1p, v1p, k2p, v2p)]
+    nq = qt.shape[1] // block_q
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM)
+
+    def kvspec(t):
+        return pl.BlockSpec((1, t.shape[1], d), lambda bi, qi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_dual_cross_kernel, scale=scale, kv1_len=s1, kv2_len=s2),
+        grid=(b * n, nq),
+        in_specs=[qspec] + [kvspec(t) for t in kvs],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(qt, *kvs)
+    out = out.reshape(b, n, qp.shape[1], d).transpose(0, 2, 1, 3)
+    return out[:, :sq]
+
+
+def _dual_cross_reference(q, k1, v1, k2, v2, scale):
+    return (_attention_xla(q, k1, v1, scale) + _attention_xla(q, k2, v2, scale))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dual_cross_tpu(q, k1, v1, k2, v2, scale):
+    return _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale)
+
+
+def _dual_cross_vjp_fwd(q, k1, v1, k2, v2, scale):
+    return _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale), (q, k1, v1, k2, v2)
+
+
+def _dual_cross_vjp_bwd(scale, res, g):
+    # short KV: the exact composed gradient through the XLA path is cheap
+    q, k1, v1, k2, v2 = res
+    _, vjp = jax.vjp(lambda *a: _dual_cross_reference(*a, scale), q, k1, v1, k2, v2)
+    return vjp(g)
+
+
+_dual_cross_tpu.defvjp(_dual_cross_vjp_fwd, _dual_cross_vjp_bwd)
+
+
+def dual_cross_attention(q, k1, v1, k2, v2, *, scale: float = None,
+                         impl: str = "auto"):
+    """attention(q,k1,v1) + attention(q,k2,v2) with both softmaxes fused into
+    one kernel on TPU (the DiT's summed text+CLIP cross attention)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        return _dual_cross_tpu(q, k1, v1, k2, v2, scale)
+    return _dual_cross_reference(q, k1, v1, k2, v2, scale)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

@@ -208,6 +208,34 @@ def test_attention_pallas_vjp_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-4)
 
 
+def test_dual_cross_attention_matches_sum(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scail_tpu.ops.attention import dual_cross_attention
+
+    b, s, n, d = 1, 200, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    k1 = jnp.asarray(rng.standard_normal((b, 37, n, d)).astype(np.float32))
+    v1 = jnp.asarray(rng.standard_normal((b, 37, n, d)).astype(np.float32))
+    k2 = jnp.asarray(rng.standard_normal((b, 21, n, d)).astype(np.float32))
+    v2 = jnp.asarray(rng.standard_normal((b, 21, n, d)).astype(np.float32))
+
+    want = np.asarray(attention(q, k1, v1, impl="xla")
+                      + attention(q, k2, v2, impl="xla"))
+    got_ref = np.asarray(dual_cross_attention(q, k1, v1, k2, v2, impl="xla"))
+    np.testing.assert_allclose(got_ref, want, rtol=2e-5, atol=2e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got_pl = np.asarray(dual_cross_attention(q, k1, v1, k2, v2, impl="pallas"))
+    np.testing.assert_allclose(got_pl, want, rtol=2e-4, atol=2e-4)
+
+    # gradient path (custom VJP routes through the exact composed grad)
+    def loss(q, k1, v1, k2, v2):
+        return jnp.sum(dual_cross_attention(q, k1, v1, k2, v2, impl="xla") ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k1, v1, k2, v2)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in g)
+
+
 def test_attention_pallas_interpret_matches_xla(rng):
     from jax.experimental.pallas import tpu as pltpu
 

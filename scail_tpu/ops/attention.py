@@ -351,7 +351,7 @@ def _dual_cross_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, o_ref,
                 + one(k2_ref, v2_ref, kv2_len)).astype(o_ref.dtype)
 
 
-def _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale, block_q=1024):
+def _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale, block_q=2048):
     b, sq, n, d = q.shape
 
     def pad_kv(k):

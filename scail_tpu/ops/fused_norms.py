@@ -84,8 +84,8 @@ def _rotary_kernel(x_ref, cos_ref, sin_ref, o_ref):
     # roll requires non-negative shifts: roll(-1) == roll(d-1)
     swapped = jnp.where(even, pltpu.roll(x, d - 1, 1), pltpu.roll(x, 1, 1))
     sign = jnp.where(even, -1.0, 1.0).astype(x.dtype)
-    cos = cos_ref[0].astype(x.dtype)
-    sin = sin_ref[0].astype(x.dtype)
+    cos = cos_ref[:].astype(x.dtype)   # (block_s, d)
+    sin = sin_ref[:].astype(x.dtype)
     o_ref[0] = x * cos + swapped * sign * sin
 
 

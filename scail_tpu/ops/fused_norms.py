@@ -36,7 +36,7 @@ def _adaln_ln_kernel(x_ref, shift_ref, scale_ref, o_ref, *, eps):
     o_ref[0] = (y * (1.0 + scale) + shift).astype(o_ref.dtype)
 
 
-def adaln_layer_norm(x, shift, scale, *, eps: float = 1e-6, block_s: int = 1024,
+def adaln_layer_norm(x, shift, scale, *, eps: float = 1e-6, block_s: int = 256,
                      impl: str = "auto"):
     """x: (b, s, d); shift/scale: (b, 1, d).  One VMEM pass computes the LN
     statistics and applies the AdaLN modulation."""

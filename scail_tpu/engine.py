@@ -33,7 +33,7 @@ def _half_res(video):
     smpl_downsample representation, sample_video.py:350-351)."""
     from scail_tpu.ops.resize import resize_bilinear
 
-    b, T, C, H, W = video.shape
+    H, W = video.shape[-2:]
     return resize_bilinear(video, H // 2, W // 2)
 
 
@@ -51,12 +51,19 @@ class VideoDiffusionEngine:
         self.pose_dropout = mc.get("pose_dropout", 0.0)
 
         # dtype selection (reference :94-106)
-        dtype_str = "bf16"
-        if args is not None:
-            if getattr(args, "fp16", False) or (isinstance(args, dict) and args.get("fp16")):
-                dtype_str = "fp16"
-            elif isinstance(args, dict) and not args.get("bf16", True):
-                dtype_str = "fp32"
+        def _flag(name, default=False):
+            if args is None:
+                return default
+            if isinstance(args, dict):
+                return args.get(name, default)
+            return getattr(args, name, default)
+
+        if _flag("fp16"):
+            dtype_str = "fp16"
+        elif not _flag("bf16", True):
+            dtype_str = "fp32"
+        else:
+            dtype_str = "bf16"
         self.dtype_str = dtype_str
 
         network_config = dict(mc["network_config"])

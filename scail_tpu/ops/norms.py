@@ -39,7 +39,7 @@ def layer_norm(x, scale=None, bias=None, *, eps: float = 1e-6):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    xf = (xf - mean) * (var + eps) ** -0.5
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         xf = xf * scale.astype(jnp.float32)
     if bias is not None:

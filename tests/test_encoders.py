@@ -183,6 +183,27 @@ def test_relative_buckets_match_torch():
     np.testing.assert_array_equal(got, want)
 
 
+def test_umt5_varlen_trim():
+    """varlen_text trims to valid tokens padded to the shard multiple
+    (umt5.py:516-535)."""
+    from scail_tpu.models.umt5 import T5EncoderModel, UMT5Config, init_umt5_params
+
+    emb = T5EncoderModel(max_length=16, varlen_text=True, uncond_text_length=1)
+    emb.config = UMT5Config(vocab_size=100, dim=32, dim_attn=32, dim_ffn=48,
+                            num_heads=4, num_layers=1, num_buckets=8,
+                            dtype="float32")
+    import jax
+
+    emb.init(jax.random.PRNGKey(0), emb.config)
+    emb.cond_length_multiple = 4
+    z = emb(["three token prompt"])      # 3 words + eos = 4 valid -> stays 4
+    assert z.shape[1] == 4
+    z2 = emb(["five tokens in this prompt"])  # 6 valid -> pad to 8
+    assert z2.shape[1] == 8
+    z3 = emb([""])                        # 1 valid (eos) -> uncond_text_length
+    assert z3.shape[1] == 1
+
+
 # ---------------------------------------------------------------------------
 # CLIP visual oracle
 # ---------------------------------------------------------------------------

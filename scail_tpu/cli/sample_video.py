@@ -150,9 +150,14 @@ def sampling_main(args, model_config):
         engine.init_params(jax.random.PRNGKey(args.seed))
 
     if args.input_type == "cli":
+        # reference asserts dp==1 in cli mode (sample_video.py:229)
         data_iter = read_from_cli()
     elif args.input_type == "txt":
-        data_iter = read_from_file(args.input_file)
+        # batch mode shards prompt lines over data-parallel processes
+        # (sample_video.py:231-233)
+        data_iter = read_from_file(args.input_file,
+                                   rank=jax.process_index(),
+                                   world_size=jax.process_count())
     else:
         raise NotImplementedError(args.input_type)
 

@@ -60,7 +60,15 @@ def make_mesh(spec: MeshSpec = None, devices=None, *, seq: int = 1, model: int =
     devices = devices if devices is not None else jax.devices()
     if spec is None:
         spec = MeshSpec.infer(len(devices), seq=seq, model=model)
-    assert spec.world == len(devices), (spec, len(devices))
+    if spec.world != len(devices):
+        raise RuntimeError(
+            f"mesh spec {spec} needs {spec.world} devices but this process "
+            f"exposes {len(devices)} ({[d.platform for d in devices[:4]]}...). "
+            "For multi-chip dry-runs on a single-chip box, force a virtual "
+            "CPU platform BEFORE jax initializes: os.environ['JAX_PLATFORMS']"
+            "='cpu' + XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "(see tests/conftest.py / __graft_entry__._provision_devices)."
+        )
     arr = np.asarray(devices).reshape(spec.data, spec.seq, spec.model)
     return Mesh(arr, AXIS_NAMES)
 

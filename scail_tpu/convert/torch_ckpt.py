@@ -12,7 +12,7 @@ names:
   transformer.layers.{i}.cross_attention.{query,key_value,dense}.*
   transformer.layers.{i}.mlp.dense_h_to_4h / dense_4h_to_h
   mixins.patch_embed.{proj,proj_pose}.{weight,bias}   conv3d (h, in, 1, 2, 2)
-  mixins.adaln_layer.adaln_modulations.{i}            (1, 6, h) [share_adaln]
+  mixins.adaln_layer.adaLN_modulations.{i}            (1, 6, h) [share_adaln]
   mixins.adaln_layer.{query,key,cross_query,cross_key,clip_feature_key}_layernorm_list.{i}.weight
   mixins.adaln_layer.clip_feature_key_value_list.{i}.{weight,bias}
   mixins.final_layer.linear.{weight,bias}, mixins.final_layer.adaLN_modulation (1, 2, h)
@@ -146,10 +146,10 @@ def dit_params_from_state_dict(
     }
     if cfg.share_adaln:
         lp["adaln"] = _stack(
-            [g(f"mixins.adaln_layer.adaln_modulations.{i}")[0] for i in range(L)]
+            [g(f"mixins.adaln_layer.adaLN_modulations.{i}")[0] for i in range(L)]
         )  # (L, 6, h)
     else:
-        lp["adaln_mlp"] = layer_lin("mixins.adaln_layer.adaln_modulations.{}.1")
+        lp["adaln_mlp"] = layer_lin("mixins.adaln_layer.adaLN_modulations.{}.1")
     if cfg.qk_ln:
         def norms(name):
             return {"scale": _stack(

@@ -159,7 +159,7 @@ class _PatchEmbed(nn.Module):
 class _AdaLNMixin(nn.Module):
     def __init__(self, h, L, use_clip=True):
         super().__init__()
-        self.adaln_modulations = nn.ParameterList(
+        self.adaLN_modulations = nn.ParameterList(
             [nn.Parameter(torch.randn(1, 6, h) / h ** 0.5) for _ in range(L)]
         )
         self.query_layernorm_list = nn.ModuleList([_FullWidthRMS(h) for _ in range(L)])
@@ -257,7 +257,7 @@ class OracleDiT(nn.Module):
         rope = RopeOracle(self.h // self.heads, T, Hp, Wp)
 
         for i, layer in enumerate(self.transformer.layers):
-            table = self.mixins.adaln_layer.adaln_modulations[i]
+            table = self.mixins.adaln_layer.adaLN_modulations[i]
             mod = adaln_emb.unflatten(1, (6, self.h)) + table
             s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = mod.chunk(6, dim=1)
 

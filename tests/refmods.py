@@ -1,0 +1,210 @@
+"""Import the ACTUAL reference modules from /root/reference for golden
+parity tests (VERDICT round-1 weak #2: parity was previously proven only
+against self-written torch oracles).
+
+The reference targets CUDA boxes with triton/deepspeed/pytorch_lightning/
+torchvision installed; none of that is needed for the pure math we compare
+against, so unavailable deps are stubbed minimally BEFORE the reference
+packages import.  Stubbing only replaces missing third-party packages —
+every line of model math we compare against is the reference's own.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+REFERENCE = "/root/reference"
+
+_installed = False
+
+
+class _AnyDecorator:
+    """Callable object usable as `@x`, `@x(...)`, and attribute source."""
+
+    def __call__(self, *args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+        return self
+
+    def __getattr__(self, name):
+        return _AnyDecorator()
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    # a None __spec__ breaks importlib.util.find_spec probes (transformers
+    # checks torchvision.__spec__ at import time)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_stubs() -> None:
+    global _installed
+    if _installed:
+        return
+    import torch
+    import torch.nn as nn
+
+    # transformers probes optional deps (triton, torchvision) at import time
+    # via importlib/inspect machinery that chokes on stub modules — import it
+    # for real BEFORE any stubs are visible.
+    try:
+        # force-resolve the lazy symbols sgm/modules/encoders/modules.py
+        # imports, while the real (un-stubbed) dep graph is still visible
+        from transformers import (  # noqa: F401
+            AutoModel, AutoTokenizer, ByT5Tokenizer, SiglipTextModel,
+            T5EncoderModel, T5Tokenizer, UMT5Config, UMT5EncoderModel,
+        )
+    except ImportError:
+        pass
+
+    # torch-cpu: the reference evaluates torch.cuda.current_device() at
+    # class-definition time (clip.py:492) — make it answer on CPU.
+    if not torch.cuda.is_available():
+        torch.cuda.current_device = lambda: "cpu"
+        # UlyssesAttention probes the GPU name at __init__
+        # (sat/mpu/ulysses_attn_layer.py:36-39)
+        torch.cuda.get_device_name = lambda device=None: "cpu"
+        # Rotary3DPositionEmbeddingMixin moves its freq tables with .cuda()
+        # (dit:510-513); keep them on CPU
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        nn.Module.cuda = lambda self, *a, **k: self
+
+    if "triton" not in sys.modules:
+        dec = _AnyDecorator()
+        tl = _stub("triton.language")
+        tl.__getattr__ = lambda name: object  # tl.constexpr annotations
+        tl.constexpr = object
+        _stub(
+            "triton",
+            jit=dec, autotune=dec, heuristics=dec, Config=dec, language=tl,
+            cdiv=lambda a, b: (a + b - 1) // b,
+            next_power_of_2=lambda n: 1 << (int(n) - 1).bit_length(),
+        )
+
+    if "pytorch_lightning" not in sys.modules:
+        try:
+            import pytorch_lightning  # noqa: F401
+        except ImportError:
+            pl = _stub("pytorch_lightning", LightningModule=nn.Module,
+                       Callback=object, Trainer=object)
+            _stub("pytorch_lightning.utilities",
+                  rank_zero_only=_AnyDecorator())
+            pl.utilities = sys.modules["pytorch_lightning.utilities"]
+
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            class _Xform:
+                def __init__(self, *a, **k):
+                    pass
+
+                def __call__(self, x):
+                    return x
+
+            class _Interp:
+                BICUBIC = "bicubic"
+                BILINEAR = "bilinear"
+
+            tvt = _stub("torchvision.transforms", Compose=_Xform,
+                        Resize=_Xform, ToTensor=_Xform, Normalize=_Xform,
+                        InterpolationMode=_Interp)
+            tvm = _stub("torchvision.models")
+            tvm.__getattr__ = lambda name: _AnyDecorator()
+            tv = _stub("torchvision", transforms=tvt, models=tvm)
+            tv.__version__ = "0.0-stub"
+
+    if "beartype" not in sys.modules:
+        try:
+            import beartype  # noqa: F401
+        except ImportError:
+            import typing
+
+            bt = _stub("beartype", beartype=_AnyDecorator())
+            btt = _stub("beartype.typing", Union=typing.Union,
+                        Tuple=typing.Tuple, Optional=typing.Optional,
+                        List=typing.List, Dict=typing.Dict)
+            bt.typing = btt
+
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            _stub("ftfy", fix_text=lambda s, **kw: s)
+
+    if "omegaconf" not in sys.modules:
+        try:
+            import omegaconf  # noqa: F401
+        except ImportError:
+            class _OmegaConf:
+                @staticmethod
+                def create(obj=None):
+                    return obj
+
+                @staticmethod
+                def to_container(obj, **kw):
+                    return obj
+
+                @staticmethod
+                def merge(*objs):
+                    out = {}
+                    for o in objs:
+                        out.update(dict(o))
+                    return out
+
+            _stub("omegaconf", OmegaConf=_OmegaConf, ListConfig=list,
+                  DictConfig=dict)
+
+    _installed = True
+
+
+def _ensure_path() -> None:
+    if REFERENCE not in sys.path:
+        # append (not prepend) so repo/test modules keep priority
+        sys.path.append(REFERENCE)
+
+
+def import_ref(module: str):
+    """Import a reference module by its own name (e.g. 'sgm.models.wan_vae',
+    'dit_video_crossattn_sc_xc') with stubs installed."""
+    install_stubs()
+    _ensure_path()
+    return importlib.import_module(module)
+
+
+def simple_init_distributed() -> None:
+    """Single-process gloo init so sat's model-only mode works on CPU.
+
+    sat/arguments.py:546-548 hardcodes device_id=cuda:{rank} in its own
+    init_process_group call, but takes an early branch when
+    torch.distributed is already initialized — so initialize gloo here
+    first; BaseModel._simple_init then only builds the mpu groups."""
+    import socket
+
+    import torch.distributed as dist
+
+    if dist.is_initialized():
+        return
+    os.environ.setdefault("RANK", "0")
+    os.environ.setdefault("WORLD_SIZE", "1")
+    os.environ.setdefault("LOCAL_RANK", "0")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    dist.init_process_group(
+        "gloo", rank=0, world_size=1,
+        init_method=f"tcp://127.0.0.1:{port}",
+    )
+
+
+def torch_state_dict_to_numpy(module) -> dict:
+    """state_dict() -> {name: float32 ndarray} (same contract as
+    scail_tpu.convert.torch_ckpt.load_torch_state_dict)."""
+    return {k: v.detach().float().numpy() for k, v in module.state_dict().items()}

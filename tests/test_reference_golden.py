@@ -1,0 +1,241 @@
+"""Golden parity vs the ACTUAL reference modules in /root/reference.
+
+Round-1 parity was proven against self-written torch oracles
+(tests/oracles.py); a mirrored misreading would pass both sides.  These
+tests instantiate the reference's own torch modules (tiny configs, random
+weights), push their state_dicts through the production converters, and
+assert output parity with the scail_tpu implementations:
+
+  - sgm/models/wan_vae.py        WanVAE_ streamed encode/decode
+  - sgm/modules/encoders/umt5.py T5Encoder (per-layer rel-pos)
+  - sgm/modules/encoders/clip.py VisionTransformer (use_31_block)
+  - dit_video_crossattn_sc_xc.py DiffusionTransformer (full forward)
+"""
+
+import argparse
+
+import numpy as np
+import pytest
+
+import refmods
+
+torch = pytest.importorskip("torch")
+
+
+def _np(t):
+    return t.detach().float().numpy()
+
+
+# ---------------------------------------------------------------------------
+# Wan VAE
+# ---------------------------------------------------------------------------
+def test_wan_vae_golden_encode_decode():
+    wv = refmods.import_ref("sgm.models.wan_vae")
+    from scail_tpu.convert.wan_vae_ckpt import convert_wan_vae_state_dict
+    from scail_tpu.models.wan_vae import WanVAEConfig, vae_decode, vae_encode
+
+    torch.manual_seed(0)
+    ref = wv.WanVAE_(
+        dim=8, z_dim=4, dim_mult=[1, 2, 4, 4], num_res_blocks=1,
+        attn_scales=[], temperal_downsample=[False, True, True], dropout=0.0,
+    ).eval()
+
+    cfg = WanVAEConfig(dim=8, z_dim=4, dim_mult=(1, 2, 4, 4),
+                       num_res_blocks=1,
+                       temporal_downsample=(False, True, True),
+                       dtype="float32")
+    params = convert_wan_vae_state_dict(refmods.torch_state_dict_to_numpy(ref))
+
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((1, 3, 9, 32, 32)).astype(np.float32) * 0.5
+
+    scale = [0.0, 1.0]  # identity normalization (z_dim != 16)
+    with torch.no_grad():
+        mu_ref = _np(ref.encode(torch.from_numpy(video), scale))      # (b,c,t,h,w)
+        dec_ref = _np(ref.decode(torch.from_numpy(mu_ref), scale))
+
+    # ours: (b, T, c, H, W)
+    mu_ours = np.asarray(
+        vae_encode(params, cfg, video.transpose(0, 2, 1, 3, 4), streamed=True)
+    ).transpose(0, 2, 1, 3, 4)
+    np.testing.assert_allclose(mu_ours, mu_ref, rtol=2e-4, atol=2e-4)
+
+    dec_ours = np.asarray(
+        vae_decode(params, cfg, mu_ref.transpose(0, 2, 1, 3, 4), streamed=True)
+    ).transpose(0, 2, 1, 3, 4)
+    np.testing.assert_allclose(
+        dec_ours, np.clip(dec_ref, -1.0, 1.0), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# umt5 encoder
+# ---------------------------------------------------------------------------
+def test_umt5_golden():
+    um = refmods.import_ref("sgm.modules.encoders.umt5")
+    from scail_tpu.models.umt5 import (UMT5Config, umt5_encode,
+                                       umt5_params_from_state_dict)
+
+    torch.manual_seed(1)
+    ref = um.T5Encoder(vocab=64, dim=32, dim_attn=32, dim_ffn=48, num_heads=4,
+                       num_layers=2, num_buckets=8, shared_pos=False,
+                       dropout=0.0).eval()
+
+    cfg = UMT5Config(vocab_size=64, dim=32, dim_attn=32, dim_ffn=48,
+                     num_heads=4, num_layers=2, num_buckets=8,
+                     dtype="float32")
+    params = umt5_params_from_state_dict(
+        refmods.torch_state_dict_to_numpy(ref), cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 64, size=(2, 11)).astype(np.int64)
+    mask = np.ones((2, 11), np.int64)
+    mask[0, 7:] = 0
+    mask[1, 4:] = 0
+
+    with torch.no_grad():
+        out_ref = _np(ref(torch.from_numpy(ids), torch.from_numpy(mask)))
+
+    out_ours = np.asarray(
+        umt5_encode(params, cfg, ids.astype(np.int32), mask.astype(np.int32)))
+    # ours mask-zeroes the states (T5EncoderModel wrapper semantics,
+    # umt5.py:516-535); apply the same mask to the reference output
+    np.testing.assert_allclose(
+        out_ours, out_ref * mask[:, :, None], rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower
+# ---------------------------------------------------------------------------
+def test_clip_vit_golden():
+    cl = refmods.import_ref("sgm.modules.encoders.clip")
+    from scail_tpu.models.clip_vit import (ClipVisionConfig,
+                                           clip_vision_params_from_state_dict,
+                                           clip_visual_tokens)
+
+    torch.manual_seed(2)
+    ref = cl.VisionTransformer(
+        image_size=32, patch_size=16, dim=32, mlp_ratio=4, out_dim=16,
+        num_heads=4, num_layers=3, pool_type="token", pre_norm=True,
+        post_norm=False, activation="gelu", attn_dropout=0.0,
+        proj_dropout=0.0, embedding_dropout=0.0, norm_eps=1e-5,
+    ).eval()
+
+    cfg = ClipVisionConfig(image_size=32, patch_size=16, dim=32, mlp_ratio=4,
+                           num_heads=4, num_layers=3, activation="gelu",
+                           norm_eps=1e-5, dtype="float32")
+    params = clip_vision_params_from_state_dict(
+        refmods.torch_state_dict_to_numpy(ref), cfg)
+
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = _np(ref(torch.from_numpy(imgs), use_31_block=True))
+
+    out_ours = np.asarray(
+        clip_visual_tokens(params, cfg, imgs, use_31_block=True))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# The SCAIL DiT
+# ---------------------------------------------------------------------------
+def _patch_gloo_all_to_all(monkeypatch):
+    """gloo lacks all_to_all_single; at world size 1 it is the identity
+    (the Ulysses mixin still routes through it, dit:356-379)."""
+    import torch.distributed as dist
+
+    orig = dist.all_to_all_single
+
+    def a2a(output, input, *args, **kwargs):
+        group = kwargs.get("group")
+        if dist.get_world_size(group) == 1:
+            output.copy_(input)
+            return None
+        return orig(output, input, *args, **kwargs)
+
+    monkeypatch.setattr(dist, "all_to_all_single", a2a)
+
+
+@pytest.mark.slow
+def test_dit_golden(monkeypatch):
+    refmods.simple_init_distributed()
+    dit_mod = refmods.import_ref("dit_video_crossattn_sc_xc")
+    from scail_tpu.convert.torch_ckpt import dit_params_from_state_dict
+    from scail_tpu.models.dit import DiTConfig, dit_forward
+
+    h, L, heads, inner = 64, 2, 4, 128
+    T, H, W = 3, 16, 16
+
+    transformer_args = argparse.Namespace(
+        checkpoint_activations=False, vocab_size=1, max_sequence_length=64,
+        layernorm_order="pre", skip_init=False, model_parallel_size=1,
+        is_decoder=True, seed=1234,
+    )
+    modules = {
+        "pos_embed_config": {
+            "target": "dit_video_crossattn_sc_xc.Rotary3DPositionEmbeddingMixin",
+            "params": {"hidden_size_head": h // heads, "interleaved_rope": True},
+        },
+        "patch_embed_config": {
+            "target": "dit_video_crossattn_sc_xc.ImagePatchEmbeddingMixin",
+            "params": {"use_conv": True},
+        },
+        "adaln_layer_config": {
+            "target": "dit_video_crossattn_sc_xc.AdaLNMixin",
+            "params": {"qk_ln": True, "qk_ln_affine": True,
+                       "hidden_size_head": h},
+        },
+        "final_layer_config": {
+            "target": "dit_video_crossattn_sc_xc.FinalLayerMixin",
+        },
+    }
+
+    torch.manual_seed(3)
+    ref = dit_mod.DiffusionTransformer(
+        transformer_args=transformer_args,
+        num_frames=1 + 4 * (T - 1), time_compressed_rate=4,
+        latent_width=W, latent_height=H, patch_size=[1, 2, 2],
+        in_channels=20, out_channels=16, hidden_size=h, text_dim=32,
+        num_layers=L, num_attention_heads=heads, elementwise_affine=False,
+        time_freq_dim=32, time_embed_dim=h, share_adaln=True,
+        use_SwiGLU=False, use_RMSNorm=False, layernorm_epsilon=1e-6,
+        inner_hidden_size=inner, use_i2v_clip=True, modules=modules,
+    ).eval()
+
+    _patch_gloo_all_to_all(monkeypatch)
+
+    cfg = DiTConfig(
+        hidden_size=h, num_layers=L, num_heads=heads, inner_hidden_size=inner,
+        text_dim=32, time_freq_dim=32, time_embed_dim=h, clip_dim=1280,
+        share_adaln=True, use_i2v_clip=True, qk_ln=True, qk_ln_affine=True,
+        elementwise_affine=False, interleaved_rope=True, dtype="float32",
+        attn_impl="xla",
+    )
+    params = dit_params_from_state_dict(
+        refmods.torch_state_dict_to_numpy(ref), cfg, prefix="")
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, T, 16, H, W)).astype(np.float32)
+    timesteps = np.array([500.0], np.float32)
+    context = rng.standard_normal((1, 7, 32)).astype(np.float32)
+    ref_concat = rng.standard_normal((1, 1, 16, H, W)).astype(np.float32)
+    pose = rng.standard_normal((1, T, 16, H // 2, W // 2)).astype(np.float32)
+    clip_feats = rng.standard_normal((1, 257, 1280)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = _np(ref(
+            torch.from_numpy(x), timesteps=torch.from_numpy(timesteps),
+            context=torch.from_numpy(context),
+            concat_images=torch.zeros(1, T, 4, H, W),
+            ref_concat=torch.from_numpy(ref_concat),
+            concat_smpl_render=torch.from_numpy(pose),
+            image_clip_features=torch.from_numpy(clip_feats),
+        ))
+
+    out_ours = np.asarray(dit_forward(
+        params, cfg, x, timesteps, context, ref_concat=ref_concat,
+        concat_smpl_render=pose, image_clip_features=clip_feats,
+    ))
+    assert out_ours.shape == out_ref.shape == (1, T, 16, H, W)
+    np.testing.assert_allclose(out_ours, out_ref, rtol=5e-4, atol=5e-4)

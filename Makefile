@@ -1,6 +1,10 @@
-.PHONY: test bench bench-e2e sample train-smoke synth-example
+.PHONY: test test-all bench bench-e2e sample train-smoke synth-example
 
+# fast set (~4 min); full suite (test-all) takes ~15 min on CPU
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
 bench:

@@ -41,6 +41,7 @@ def _args(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_examples_001(tmp_path, example_dir):
     mc = tiny_model_config()
     # tiny text/clip dims need matching conditioner + clip stubs: use random

@@ -10,8 +10,10 @@ import sys
 import numpy as np
 import torch
 import yaml
+import pytest
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_roundtrip(tmp_path):
     from oracles import OracleDiT
     from oracle_vae import OracleWanVAE

@@ -7,6 +7,7 @@ import numpy as np
 
 from scail_tpu.engine import VideoDiffusionEngine
 from scail_tpu.testing import tiny_cond, tiny_model_config
+import pytest
 
 
 def make_engine(dtype="float32"):
@@ -25,6 +26,7 @@ def test_engine_builds_from_config():
     assert "dit" in eng.params
 
 
+@pytest.mark.slow
 def test_engine_sample_shapes_and_determinism():
     eng = make_engine()
     cond = tiny_cond(jax.random.PRNGKey(1))
@@ -51,6 +53,7 @@ def test_engine_sample_jitted():
     assert out.shape == (1, 2, 16, 8, 8)
 
 
+@pytest.mark.slow
 def test_engine_first_stage_roundtrip():
     eng = make_engine()
     video = jnp.zeros((1, 5, 3, 16, 16))
@@ -60,6 +63,7 @@ def test_engine_first_stage_roundtrip():
     assert rec.shape == (1, 5, 3, 16, 16)
 
 
+@pytest.mark.slow
 def test_engine_loss_runs_and_grads():
     eng = make_engine()
     cond = tiny_cond(jax.random.PRNGKey(1))

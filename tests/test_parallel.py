@@ -78,6 +78,7 @@ def test_sharded_dit_forward_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_engine_sharded_sampling(rng):
     """engine.sample under a TP+SP mesh == single-device sample (same key)."""
     import dataclasses

@@ -7,8 +7,10 @@ import numpy as np
 from scail_tpu.engine import VideoDiffusionEngine
 from scail_tpu.testing import tiny_model_config
 from scail_tpu.training.sync import check_param_sync, check_value_sync, sync_params_across_ranks
+import pytest
 
 
+@pytest.mark.slow
 def test_shared_step_runs_and_differentiable():
     mc = tiny_model_config()
     mc["network_config"]["params"]["dtype"] = "fp32"

@@ -25,6 +25,7 @@ def data_root(tmp_path):
     return str(root)
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, data_root, monkeypatch):
     from scail_tpu.testing import tiny_model_config
 
@@ -75,6 +76,7 @@ def test_train_cli_end_to_end(tmp_path, data_root, monkeypatch):
     assert (save / "model_config.json").exists()
 
 
+@pytest.mark.slow
 def test_train_cli_lora(tmp_path, data_root, monkeypatch):
     from scail_tpu.testing import tiny_model_config
 

@@ -15,6 +15,7 @@ from scail_tpu.training.engine import TrainConfig, Trainer
 from scail_tpu.training.lr_schedules import annealing_lr
 
 
+@pytest.mark.slow
 def test_ema_adam_matches_torch_adamw():
     torch.manual_seed(0)
     w0 = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)

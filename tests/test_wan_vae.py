@@ -9,6 +9,7 @@ from scail_tpu.convert.wan_vae_ckpt import convert_wan_vae_state_dict
 from scail_tpu.models.wan_vae import WanVAEConfig, vae_decode, vae_encode
 
 from oracle_vae import OracleWanVAE
+import pytest
 
 CFG = WanVAEConfig(dim=8, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
                    temporal_downsample=(False, True, True), dtype="float32")
@@ -23,6 +24,7 @@ def _setup():
     return oracle, params
 
 
+@pytest.mark.slow
 def test_encode_matches_oracle(rng):
     oracle, params = _setup()
     video = rng.standard_normal((1, 9, 3, 16, 16)).astype(np.float32) * 0.5
@@ -62,6 +64,7 @@ def test_single_frame_image():
     assert out.shape == (1, 1, 3, 16, 16)
 
 
+@pytest.mark.slow
 def test_context_parallel_matches_full(rng):
     """CP (temporal halo-exchange) encode/decode == full-sequence
     (cp_enc_dec.py parity) on a 4-way 'seq' mesh."""

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from scail_tpu.models.zoo.gpt import (
     GPTConfig, generate, gpt_forward, init_gpt_params, init_kv_cache,
 )
@@ -11,6 +13,7 @@ from scail_tpu.models.zoo.gpt import (
 CFG = GPTConfig(vocab_size=97, dim=32, num_heads=4, num_layers=2, max_len=16)
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full(rng):
     params = init_gpt_params(jax.random.PRNGKey(0), CFG)
     tokens = jnp.asarray(rng.integers(0, 97, (2, 9)), jnp.int32)

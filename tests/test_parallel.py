@@ -111,6 +111,56 @@ def test_engine_sharded_sampling(rng):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
+def test_engine_ulysses_e2e_sampling_and_collectives(rng):
+    """VERDICT r1 item 4: jitted end-to-end engine.sample on a
+    (data=1, seq=2, model=4) mesh with attn_impl='ulysses' and
+    params-as-jit-args; parity vs single-device AND a mechanical check of
+    the compiled HLO's collective structure (all-to-all for the Ulysses
+    head<->seq reshard, all-reduce/reduce-scatter for TP) backing
+    docs/MULTICHIP.md's communication model."""
+    import dataclasses
+
+    from scail_tpu.engine import VideoDiffusionEngine
+    from scail_tpu.models.dit import dit_param_rules
+    from scail_tpu.parallel.sharding import shard_tree
+    from scail_tpu.testing import tiny_cond, tiny_model_config
+
+    mc = tiny_model_config(hidden=32, heads=8, layers=2, inner=48)
+    mc["network_config"]["params"]["dtype"] = "fp32"
+    mc["sampler_config"]["params"]["num_steps"] = 2
+    eng = VideoDiffusionEngine(mc)
+    eng.init_params(jax.random.PRNGKey(0))
+    cond = tiny_cond(jax.random.PRNGKey(1))
+    want = np.asarray(eng.sample(jax.random.PRNGKey(2), cond, cond,
+                                 batch_size=1, shape=(2, 16, 8, 8)))
+
+    mesh = make_mesh(MeshSpec(data=1, seq=2, model=4))
+    eng.mesh = mesh
+    eng.network.config = dataclasses.replace(
+        eng.network.config, attn_impl="ulysses")
+    params = shard_tree(eng.params["dit"], dit_param_rules(), mesh)
+
+    def run(params, key, cond):
+        return eng.sample(key, cond, cond, batch_size=1, shape=(2, 16, 8, 8),
+                          params=params)
+
+    jitted = jax.jit(run)
+    compiled = jitted.lower(params, jax.random.PRNGKey(2), cond).compile()
+    hlo = compiled.as_text()
+    counts = {op: hlo.count(f" {op}") for op in
+              ("all-to-all", "all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute")}
+    # Ulysses needs the 2x head<->seq all_to_all (ulysses_attn_layer.py:41-110)
+    assert counts["all-to-all"] >= 2, counts
+    # TP row-parallel outputs need a reduction (mappings.py:22-34 equivalent)
+    assert counts["all-reduce"] + counts["reduce-scatter"] >= 1, counts
+
+    got = np.asarray(jitted(params, jax.random.PRNGKey(2), cond))
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
 def test_dit_ulysses_impl_matches(rng):
     """attn_impl='ulysses' inside the DiT == dense attention result."""
     from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params

@@ -63,3 +63,13 @@ class DiscreteDenoiser(Denoiser):
         if self.quantize_c_noise:
             return self.sigma_to_idx(c_noise)
         return c_noise
+
+
+@register(alias="sgm.modules.diffusionmodules.denoiser.DiscreteDenoiser_TASD")
+class DiscreteDenoiserTASD(DiscreteDenoiser):
+    """TASD variant (denoiser.py:82-94): sigma is per-frame (b, t), so the
+    nearest-sigma lookup broadcasts over an arbitrary-rank sigma."""
+
+    def sigma_to_idx(self, sigma):
+        dists = sigma[None] - self.sigmas.reshape((-1,) + (1,) * sigma.ndim)
+        return jnp.argmin(jnp.abs(dists), axis=0).reshape(sigma.shape)

@@ -59,6 +59,32 @@ def _time_shift_traced(mu: float, t):
     return math.exp(mu) / (math.exp(mu) + 1.0 / t - 1.0)
 
 
+def get_lin_function(x1: float = 256, y1: float = 0.5,
+                     x2: float = 4096, y2: float = 1.15):
+    """Resolution->shift line (loss.py:16-21)."""
+    m = (y2 - y1) / (x2 - x1)
+    b = y1 - m * x1
+    return lambda x: m * x + b
+
+
+def get_3d_position_ids(frame_len: int, h: int, w: int):
+    """(t, h, w, 3) integer grid (loss.py:282-287)."""
+    i = jnp.broadcast_to(jnp.arange(frame_len)[:, None, None], (frame_len, h, w))
+    j = jnp.broadcast_to(jnp.arange(h)[None, :, None], (frame_len, h, w))
+    k = jnp.broadcast_to(jnp.arange(w)[None, None, :], (frame_len, h, w))
+    return jnp.stack([i, j, k], axis=-1)
+
+
+def _tasd_position_ids(b: int, t: int, H: int, W: int, patch_size):
+    """rope_position_ids for the doubled [clean | noised] sequence
+    (loss.py:866-874, :946-950)."""
+    pos = get_3d_position_ids(
+        t // patch_size[0], H // patch_size[1], W // patch_size[2]
+    ).reshape(-1, 3)
+    pos = jnp.tile(pos, (2, 1))
+    return jnp.broadcast_to(pos[None], (b, *pos.shape))
+
+
 def guidance_scale_embedding(w, embedding_dim: int = 512):
     """Sinusoidal guidance-scale embedding, [sin|cos] order, w*1000
     (loss.py:533-551)."""
@@ -138,6 +164,124 @@ class PDDiffusionLoss(StandardDiffusionLoss):
         if self.add_dsm_loss:
             loss = loss + 0.001 * self.get_loss(out, inp, w)
         return loss
+
+
+@register(alias="sgm.modules.diffusionmodules.loss.TASDLoss")
+class TASDLoss(StandardDiffusionLoss):
+    """Temporal-autoregressive self-distillation loss, DDPM parametrization
+    (loss.py:831-885): per-frame alphas_cumprod_sqrt, the CLEAN sequence is
+    concatenated before the noised one along time as in-context history, the
+    model denoises the second half, v-pred weight 1/(1-ac^2).
+
+    Use with DiscreteDenoiser_TASD (per-frame sigma quantization) and a
+    network that accepts per-frame timesteps + rope_position_ids.
+    `noise` / `alphas_idx` can be injected for deterministic testing.
+    """
+
+    def __init__(self, min_snr_value=None, **kw):
+        super().__init__(**kw)
+        self.min_snr_value = min_snr_value
+
+    def __call__(self, key, network_fn, denoiser, cond: Dict, input, *,
+                 patch_size=(1, 2, 2), noise=None, alphas_idx=None,
+                 **model_kwargs):
+        b, t = input.shape[:2]
+        k_sig, k_noise = jax.random.split(key)
+        if alphas_idx is not None:
+            idx = alphas_idx
+            ac = self.sigma_sampler.idx_to_sigma(idx)
+        else:
+            ac, idx = self.sigma_sampler(k_sig, (b, t), return_idx=True)
+        if noise is None:
+            noise = jax.random.normal(k_noise, input.shape, jnp.float32)
+
+        inp = input.astype(jnp.float32)
+        noised = (inp * append_dims(ac, inp.ndim)
+                  + noise * append_dims((1.0 - ac ** 2) ** 0.5, inp.ndim))
+
+        # prepend the clean frames as in-context history (loss.py:860-865)
+        noised = jnp.concatenate([inp, noised], axis=1)
+        ac_full = jnp.concatenate([jnp.ones_like(ac), ac], axis=1)
+        idx_full = jnp.concatenate([jnp.zeros_like(idx), idx], axis=1)
+
+        pos = _tasd_position_ids(b, t, input.shape[3], input.shape[4], patch_size)
+        out = denoiser(network_fn, noised, ac_full, cond,
+                       idx=idx_full, rope_position_ids=pos, **model_kwargs)
+        out = out[:, t:]
+        ac_t = ac_full[:, t:]
+        w = append_dims(1.0 / (1.0 - ac_t ** 2), inp.ndim)  # v-pred (loss.py:878)
+        if self.min_snr_value is not None:
+            # elementwise clamp (loss.py:880-881 writes python min(); the
+            # intended min-SNR-gamma semantics are elementwise)
+            w = jnp.minimum(w, self.min_snr_value)
+        return self.get_loss(out, inp, w)
+
+
+@register(alias="sgm.modules.diffusionmodules.loss.TASDLoss_RF")
+class TASDLossRF(StandardDiffusionLoss):
+    """Rectified-flow TASD (loss.py:889-969): per-frame t ~ LogisticNormal
+    (optionally resolution-shifted), clean or lightly-noised frames
+    prepended as history, target = noise - input on the noised half.
+
+    `noise` / `t_indices` can be injected for deterministic testing.
+    """
+
+    def __init__(self, schedule_shift: bool = False,
+                 noise_augmentation: bool = False, aug: bool = False,
+                 aug_max=None, remove_first: bool = True, **kw):
+        super().__init__(**kw)
+        self.schedule_shift = schedule_shift
+        self.noise_augmentation = noise_augmentation
+        self.aug = aug
+        self.aug_max = aug_max
+        self.remove_first = remove_first
+
+    def __call__(self, key, network_fn, denoiser, cond: Dict, input, *,
+                 patch_size=(1, 2, 2), noise=None, t_indices=None,
+                 **model_kwargs):
+        b, t = input.shape[:2]
+        ks = jax.random.split(key, 6)
+        if t_indices is None:
+            t_indices = self.sigma_sampler(ks[0], (b, t))
+        if noise is None:
+            noise = jax.random.normal(ks[1], input.shape, jnp.float32)
+
+        if self.schedule_shift:  # loss.py:916-923
+            image_seq_len = (
+                input.shape[-1] * input.shape[-2]
+                // patch_size[-1] // patch_size[-2]
+            )
+            mu = get_lin_function(y1=0.5, y2=1.15)(image_seq_len)
+            t_indices = _time_shift_traced(mu, t_indices)
+
+        inp = input.astype(jnp.float32)
+        noised = (inp * append_dims(1.0 - t_indices, inp.ndim)
+                  + noise * append_dims(t_indices, inp.ndim))
+
+        if self.noise_augmentation:  # loss.py:931-932: history gets light noise
+            sig = jnp.exp(-3.0 + 0.5 * jax.random.normal(ks[2], inp.shape))
+            inp = inp + sig * jax.random.normal(ks[3], inp.shape)
+
+        if not self.aug:
+            noised_full = jnp.concatenate([inp, noised], axis=1)
+            t_full = jnp.concatenate([jnp.zeros_like(t_indices), t_indices], axis=1)
+        else:  # partially-noised history (loss.py:938-943)
+            aug_noise = jax.random.normal(ks[4], inp.shape, jnp.float32)
+            aug_idx = jax.random.uniform(ks[5], (b, t)) * self.aug_max
+            aug_input = (inp * append_dims(1.0 - aug_idx, inp.ndim)
+                         + aug_noise * append_dims(aug_idx, inp.ndim))
+            noised_full = jnp.concatenate([aug_input, noised], axis=1)
+            t_full = jnp.concatenate([aug_idx, t_indices], axis=1)
+
+        pos = _tasd_position_ids(b, t, input.shape[3], input.shape[4], patch_size)
+        out = denoiser(network_fn, noised_full, t_full, cond,
+                       rope_position_ids=pos, **model_kwargs)
+        out = out[:, t:]
+        label = noise - inp  # post-augmentation input, like loss.py:957
+        if self.remove_first:  # loss.py:958-960
+            out = out[:, 1:]
+            label = label[:, 1:]
+        return self.get_loss(out, label, 1.0)
 
 
 @register(alias="sgm.modules.diffusionmodules.loss.RFLoss")

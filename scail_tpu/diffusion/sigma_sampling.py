@@ -22,8 +22,11 @@ class RFSampling:
     def __init__(self, p_mean: float = 0.0, p_std: float = 1.0):
         self.p_mean, self.p_std = p_mean, p_std
 
-    def __call__(self, key, n_samples: int):
-        z = self.p_mean + self.p_std * jax.random.normal(key, (n_samples,))
+    def __call__(self, key, shape):
+        # int (batch) or tuple shape: TASD losses sample per (b, t)
+        # (loss.py:843, :906)
+        shape = (shape,) if isinstance(shape, int) else tuple(shape)
+        z = self.p_mean + self.p_std * jax.random.normal(key, shape)
         return jax.nn.sigmoid(z)
 
 
@@ -59,6 +62,9 @@ class DiscreteSampling:
     def idx_to_sigma(self, idx):
         return self.sigmas[idx]
 
-    def __call__(self, key, n_samples: int, rand=None):
-        idx = rand if rand is not None else jax.random.randint(key, (n_samples,), 0, self.num_idx)
+    def __call__(self, key, shape, rand=None, return_idx: bool = False):
+        shape = (shape,) if isinstance(shape, int) else tuple(shape)
+        idx = rand if rand is not None else jax.random.randint(key, shape, 0, self.num_idx)
+        if return_idx:  # TASD per-frame sampling (loss.py:843)
+            return self.idx_to_sigma(idx), idx
         return self.idx_to_sigma(idx)

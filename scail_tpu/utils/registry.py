@@ -41,21 +41,20 @@ def get_obj_from_str(string: str, reload: bool = False) -> Any:
     key = _ALIASES.get(string, string)
     if key in _REGISTRY:
         return _REGISTRY[key]
-    try:
-        module, cls = key.rsplit(".", 1)
-        mod = importlib.import_module(module)
-        if reload:
-            importlib.reload(mod)
-        return getattr(mod, cls)
-    except (ImportError, AttributeError):
-        # reference-path aliases register lazily when their scail_tpu module
-        # imports; load them all and retry once
+    if string not in _ALIASES:
+        # Reference-path aliases register lazily when their scail_tpu module
+        # imports; load them ALL before any importlib fallback.  The actual
+        # reference packages (sgm/sat) can be importable in test
+        # environments and must never shadow an alias.
         ensure_imports()
         key = _ALIASES.get(string, string)
         if key in _REGISTRY:
             return _REGISTRY[key]
-        module, cls = key.rsplit(".", 1)
-        return getattr(importlib.import_module(module), cls)
+    module, cls = key.rsplit(".", 1)
+    mod = importlib.import_module(module)
+    if reload:
+        importlib.reload(mod)
+    return getattr(mod, cls)
 
 
 def instantiate_from_config(config, **extra_kwargs):

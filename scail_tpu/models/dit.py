@@ -78,6 +78,8 @@ class DiTConfig:
     interleaved_rope: bool = True
     rope_theta: float = 10000.0
     pose_w_offset: int = 120       # global_rope_W (dit:1571)
+    num_experts: int = 1           # local MoE MLP (sat/model/transformer.py:257-297)
+    moe_top_k: int = 2             # mixtral-style top-k routing
     dtype: str = "bfloat16"
     remat: bool = False            # rematerialize each layer in the scan
     attn_impl: str = "auto"
@@ -119,6 +121,8 @@ class DiTConfig:
             elementwise_affine=p.get("elementwise_affine", False),
             layernorm_epsilon=float(p.get("layernorm_epsilon", 1e-6)),
             interleaved_rope=pos.get("interleaved_rope", False),
+            num_experts=p.get("num_experts", 1),
+            moe_top_k=p.get("moe_top_k", 2),
             dtype={"bf16": "bfloat16", "fp16": "float16", "fp32": "float32"}.get(
                 p.get("dtype", "bf16"), p.get("dtype", "bfloat16")
             ),
@@ -194,6 +198,17 @@ def init_dit_params(key, cfg: DiTConfig):
         "mlp_in": dense_init(next(keys), h, inner, prefix_shape=(L,)),
         "mlp_out": dense_init(next(keys), inner, h, prefix_shape=(L,)),
     }
+    if cfg.num_experts > 1:
+        # stacked experts + router gate (sat/model/transformer.py:257-297);
+        # the reference stores expert 0 under the base mlp names and experts
+        # 1..E-1 under dense_h_to_4h_{i} — a converter stacks them onto the
+        # (L, E, ...) expert axis here; mlp_in/mlp_out are replaced entirely
+        E = cfg.num_experts
+        del lp["mlp_in"], lp["mlp_out"]
+        lp["moe_gate"] = dense_init(next(keys), h, E, bias=False,
+                                    prefix_shape=(L,))
+        lp["moe_in"] = dense_init(next(keys), h, inner, prefix_shape=(L, E))
+        lp["moe_out"] = dense_init(next(keys), inner, h, prefix_shape=(L, E))
     if cfg.share_adaln:
         # per-layer tables: randn/sqrt(h) (dit:888-893)
         lp["adaln"] = normal_init(next(keys), (L, 6, h), std=h ** -0.5)
@@ -220,6 +235,11 @@ def dit_param_rules() -> PathRules:
         (r"layers/(qkv|cross_q|cross_kv|clip_kv|mlp_in)/kernel$", P(None, None, MODEL_AXIS)),
         (r"layers/(qkv|cross_q|cross_kv|clip_kv|mlp_in)/bias$", P(None, MODEL_AXIS)),
         (r"layers/(attn_out|cross_out|mlp_out)/kernel$", P(None, MODEL_AXIS, None)),
+        # expert parallelism: experts shard over 'model' (EP; the reference
+        # instead TP-shards each expert's inner dim — on TPU whole-expert
+        # sharding keeps each expert matmul MXU-dense)
+        (r"layers/(moe_in|moe_out)/kernel$", P(None, MODEL_AXIS, None, None)),
+        (r"layers/(moe_in|moe_out)/bias$", P(None, MODEL_AXIS, None)),
     ])
 
 
@@ -431,10 +451,17 @@ def dit_forward(
                               _split_heads(cv, n_heads), impl=cross_impl)
         hidden = hidden + dense(lp["cross_out"], _merge_heads(cross))
 
-        # ---- MLP (dit:1044-1050)
+        # ---- MLP (dit:1044-1050); MoE dispatch when num_experts > 1
+        # (sat/transformer_defaults.py:163-209)
         mi = layer_norm(hidden, eps=eps)
         mi = modulate(mi, s_mlp, sc_mlp)
-        mo = dense(lp["mlp_out"], gelu_tanh(dense(lp["mlp_in"], mi)))
+        if cfg.num_experts > 1:
+            from scail_tpu.ops.moe import moe_mlp
+
+            mo = moe_mlp(mi, lp["moe_gate"], lp["moe_in"], lp["moe_out"],
+                         top_k=cfg.moe_top_k, act=gelu_tanh)
+        else:
+            mo = dense(lp["mlp_out"], gelu_tanh(dense(lp["mlp_in"], mi)))
         hidden = hidden + g_mlp * mo
         hidden = _shard_tokens(hidden, mesh)
         return hidden, None

@@ -1,8 +1,16 @@
 """FVD between two directories of videos (reference: eval/calculate_fvd.py).
 
 Usage: python eval/calculate_fvd.py --real <dir> --fake <dir> \
-           --i3d /path/to/i3d_torchscript.pt [--num 64]
+           [--i3d /path/to/i3d_pretrained_400.pt] [--num 64]
+
+Without --i3d the JAX I3D runs with random init (smoke mode: exercises the
+full pipeline; scores are only relatively meaningful).
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 
@@ -13,7 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", required=True)
     ap.add_argument("--fake", required=True)
-    ap.add_argument("--i3d", required=True)
+    ap.add_argument("--i3d", default=None,
+                    help="i3d_pretrained_400.pt (JAX) or *torchscript.pt (torch)")
     ap.add_argument("--num", type=int, default=None)
     args = ap.parse_args()
 

@@ -1,6 +1,11 @@
 """CLIP score of an image directory vs a prompt file
 (reference: eval/eval_clip_score.py, open_clip ViT-g-14)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -1,6 +1,11 @@
 """FID driver (reference: eval/eval_fid.py): `ref` builds stats npz from a
 directory of images; `calc` scores generated images against stats."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -34,34 +34,62 @@ def preprocess_for_i3d(videos01: np.ndarray, size: int = 224) -> np.ndarray:
 
 
 class I3DFeatureExtractor:
-    """Torchscript I3D wrapper (styleganv flavour); CPU torch inference."""
+    """I3D 400-d FVD features, JAX extractor by default.
 
-    def __init__(self, weights_path: str):
-        import torch
+    - weights_path to `i3d_pretrained_400.pt` (the videogpt state dict,
+      eval/fvd/videogpt/fvd.py:8-19): converted and run in JAX.
+    - weights_path to a torchscript `i3d_torchscript.pt` (styleganv
+      flavour): run through torch on CPU.
+    - weights_path=None: random-init smoke mode (full pipeline runs
+      end-to-end without external downloads; distances are meaningful
+      only relatively, for harness testing).
+    """
 
-        if not os.path.exists(weights_path):
-            raise FileNotFoundError(
-                f"I3D weights not found at {weights_path}; download "
-                "i3d_torchscript.pt (see reference eval/fvd/styleganv/fvd.py)")
-        self.model = torch.jit.load(weights_path).eval()
+    def __init__(self, weights_path: Optional[str] = None, batch: int = 4):
+        import jax
 
-    def __call__(self, videos01: np.ndarray, batch: int = 4) -> np.ndarray:
-        import torch
+        from scail_tpu.evals.i3d import (i3d_logits, init_i3d_params,
+                                         load_i3d_params)
 
-        x = torch.tensor(preprocess_for_i3d(videos01))
+        self.batch = batch
+        self._ts_model = None
+        if weights_path is None:
+            self.params = init_i3d_params(jax.random.PRNGKey(0))
+        elif weights_path.endswith("torchscript.pt"):
+            import torch
+
+            self._ts_model = torch.jit.load(weights_path).eval()
+        else:
+            if not os.path.exists(weights_path):
+                raise FileNotFoundError(
+                    f"I3D weights not found at {weights_path}; download "
+                    "i3d_pretrained_400.pt (eval/fvd/videogpt/fvd.py:8-14)")
+            self.params = load_i3d_params(weights_path)
+        if self._ts_model is None:
+            self._fn = jax.jit(i3d_logits)
+
+    def __call__(self, videos01: np.ndarray, batch: Optional[int] = None) -> np.ndarray:
+        batch = batch or self.batch
+        x = preprocess_for_i3d(videos01)
         feats = []
-        kwargs = dict(rescale=False, resize=False, return_features=True)
-        with torch.no_grad():
-            for i in range(0, x.shape[0], batch):
-                feats.append(self.model(x[i : i + batch], **kwargs).numpy())
+        for i in range(0, x.shape[0], batch):
+            chunk = x[i : i + batch]
+            if self._ts_model is not None:
+                import torch
+
+                kwargs = dict(rescale=False, resize=False, return_features=True)
+                with torch.no_grad():
+                    feats.append(self._ts_model(torch.tensor(chunk), **kwargs).numpy())
+            else:
+                feats.append(np.asarray(self._fn(self.params, chunk)))
         return np.concatenate(feats)
 
 
 def compute_fvd(real_videos01: np.ndarray, fake_videos01: np.ndarray,
                 i3d_path: Optional[str] = None,
                 features: Optional[tuple] = None) -> float:
-    """Either pass raw videos + i3d weights, or precomputed (real, fake)
-    feature arrays."""
+    """Either pass raw videos (+ optional i3d weights; random-init smoke
+    mode without them), or precomputed (real, fake) feature arrays."""
     if features is not None:
         return frechet_from_features(features[0], features[1])
     extractor = I3DFeatureExtractor(i3d_path)

@@ -16,41 +16,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True)
     ap.add_argument("--prompts", required=True)
-    ap.add_argument("--open-clip-model", default="ViT-g-14")
-    ap.add_argument("--open-clip-pretrained", default="laion2b_s12b_b42k")
+    ap.add_argument("--clip-weights", default=None,
+                    help="HF CLIPModel state dict (.bin/.safetensors), e.g. "
+                         "laion/CLIP-ViT-g-14-laion2B-s12B-b42K; smoke mode "
+                         "with random init when omitted")
+    ap.add_argument("--tokenizer", default=None,
+                    help="HF tokenizer dir/name (fallback hash tokenizer "
+                         "without it)")
     args = ap.parse_args()
 
     from PIL import Image
 
-    from scail_tpu.evals.clip_score import compute_clip_score
+    from scail_tpu.evals.clip_score import JaxClipScorer, compute_clip_score
 
     with open(args.prompts) as f:
         prompts = [l.strip() for l in f if l.strip()]
     names = sorted(f for f in os.listdir(args.images)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
     images = [Image.open(os.path.join(args.images, n)).convert("RGB") for n in names]
+    assert len(images) == len(prompts), (len(images), len(prompts))
 
-    try:
-        import open_clip
-        import torch
-
-        model, _, preprocess = open_clip.create_model_and_transforms(
-            args.open_clip_model, pretrained=args.open_clip_pretrained)
-        tokenizer = open_clip.get_tokenizer(args.open_clip_model)
-
-        def image_embed(imgs):
-            with torch.no_grad():
-                x = torch.stack([preprocess(i) for i in imgs])
-                return model.encode_image(x).numpy()
-
-        def text_embed(txts):
-            with torch.no_grad():
-                return model.encode_text(tokenizer(txts)).numpy()
-    except ImportError as e:
-        raise SystemExit(f"open_clip unavailable ({e}); CLIP score needs it") from e
-
-    score = compute_clip_score(images, prompts, image_embed, text_embed)
-    print(f"CLIP score: {score:.4f}")
+    scorer = JaxClipScorer(args.clip_weights, args.tokenizer)
+    score = compute_clip_score(images, prompts, scorer.image_embed,
+                               scorer.text_embed)
+    # the reference prints the plain mean cosine (eval_clip_score.py:96-99)
+    print(f"CLIP score: {score:.4f} (Average CLIP Score: {score / 100.0:.6f})")
 
 
 if __name__ == "__main__":

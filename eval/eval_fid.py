@@ -26,7 +26,9 @@ def main():
     ap.add_argument("mode", choices=["ref", "calc"])
     ap.add_argument("--images", required=True)
     ap.add_argument("--stats", required=True, help="ref-stats npz path")
-    ap.add_argument("--detector", required=True, help="inception torchscript path")
+    ap.add_argument("--detector", default=None,
+                    help="pt_inception-2015-12-05*.pth (JAX) or EDM "
+                         "torchscript; random-init smoke mode when omitted")
     args = ap.parse_args()
 
     from scail_tpu.evals.fid import (InceptionFeatureExtractor, fid_from_stats,

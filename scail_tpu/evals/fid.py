@@ -17,24 +17,54 @@ from scail_tpu.evals.frechet import feature_stats, frechet_distance
 
 
 class InceptionFeatureExtractor:
-    def __init__(self, weights_path: str):
-        import torch
+    """2048-d FID features.
 
-        if not os.path.exists(weights_path):
-            raise FileNotFoundError(
-                f"inception weights not found at {weights_path} "
-                "(EDM inception-2015-12-05.pkl / torchscript equivalent)")
-        self.model = torch.jit.load(weights_path).eval()
+    - weights_path to a pytorch-fid `pt_inception-2015-12-05*.pth` state
+      dict: converted and run by the JAX InceptionV3 (evals/inception.py).
+    - weights_path to an EDM torchscript/pkl: run through torch on CPU.
+    - weights_path=None: random-init JAX smoke mode (harness runs without
+      external downloads).
+    """
 
-    def __call__(self, images_u8: np.ndarray, batch: int = 16) -> np.ndarray:
-        import torch
+    def __init__(self, weights_path: Optional[str] = None, batch: int = 16):
+        import jax
 
-        x = torch.tensor(images_u8)  # (N, H, W, 3) uint8, NHWC like EDM
+        from scail_tpu.evals.inception import (inception_features,
+                                               init_inception_params,
+                                               load_inception_params)
+
+        self.batch = batch
+        self._ts_model = None
+        if weights_path is None:
+            self.params = init_inception_params(jax.random.PRNGKey(0))
+        elif weights_path.endswith((".pkl", "torchscript.pt")):
+            import torch
+
+            self.model = torch.jit.load(weights_path).eval()
+            self._ts_model = self.model
+        else:
+            if not os.path.exists(weights_path):
+                raise FileNotFoundError(
+                    f"inception weights not found at {weights_path} "
+                    "(pt_inception-2015-12-05*.pth or EDM torchscript)")
+            self.params = load_inception_params(weights_path)
+        if self._ts_model is None:
+            self._fn = jax.jit(inception_features)
+
+    def __call__(self, images_u8: np.ndarray, batch: Optional[int] = None) -> np.ndarray:
+        batch = batch or self.batch
         feats = []
-        with torch.no_grad():
-            for i in range(0, x.shape[0], batch):
-                xb = x[i : i + batch].permute(0, 3, 1, 2)
-                feats.append(self.model(xb, return_features=True).numpy())
+        for i in range(0, images_u8.shape[0], batch):
+            xb = images_u8[i : i + batch]
+            if self._ts_model is not None:
+                import torch
+
+                with torch.no_grad():
+                    t = torch.tensor(xb).permute(0, 3, 1, 2)
+                    feats.append(self._ts_model(t, return_features=True).numpy())
+            else:
+                x = np.asarray(xb, np.float32).transpose(0, 3, 1, 2) / 255.0
+                feats.append(np.asarray(self._fn(self.params, x)))
         return np.concatenate(feats)
 
 

@@ -44,6 +44,10 @@ class TrainConfig:
     eval_iters: int = 8
     exit_interval: Optional[int] = None     # clean coordinated exit (:529-535)
     save_dir: Optional[str] = None
+    tensorboard: bool = True            # sat/training/utils.py:29-33
+    wandb: bool = False                 # sat/training/utils.py:35-64
+    wandb_project: str = "scail_tpu"
+    experiment_name: Optional[str] = None
     seed: int = 1234
     skip_nan: bool = True
     check_param_sync_interval: Optional[int] = None  # (:245-296)
@@ -76,21 +80,17 @@ class Trainer:
         self.loss_fn = loss_fn
         self.timers = Timers()
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
-        self._metrics_file = None
-        if config.save_dir:
-            import os
+        from scail_tpu.utils.metrics_writers import MetricsWriter
 
-            os.makedirs(config.save_dir, exist_ok=True)
-            self._metrics_file = os.path.join(config.save_dir, "metrics.jsonl")
+        self.metrics_writer = MetricsWriter(
+            config.save_dir, enable_tensorboard=config.tensorboard,
+            enable_wandb=config.wandb, wandb_project=config.wandb_project,
+            run_name=config.experiment_name)
 
     def _log_metrics(self, record: Dict):
-        """Append-only JSONL metrics stream (the tensorboard/wandb surface of
-        sat/training/utils.py:29-64, kept dependency-free)."""
-        if self._metrics_file:
-            import json
-
-            with open(self._metrics_file, "a") as f:
-                f.write(json.dumps(record) + "\n")
+        """JSONL + tensorboard + optional wandb
+        (sat/training/utils.py:29-64)."""
+        self.metrics_writer.write(record)
 
     # ------------------------------------------------------------------
     def _train_step(self, state, batch):

@@ -131,3 +131,22 @@ def test_trainer_grad_accum():
 
     tr.fit(gen())
     assert int(tr.state["step"]) == 5
+
+
+def test_metrics_writer_jsonl_and_tensorboard(tmp_path):
+    """MetricsWriter fans records to JSONL and tensorboard event files."""
+    import json
+    import os
+
+    from scail_tpu.utils.metrics_writers import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), enable_tensorboard=True, run_name="t")
+    w.write({"step": 1, "loss": 0.5, "lr": 1e-4})
+    w.write({"step": 2, "loss": 0.25, "lr": 9e-5})
+    w.flush(); w.close()
+
+    lines = open(tmp_path / "metrics.jsonl").read().strip().splitlines()
+    assert len(lines) == 2 and json.loads(lines[1])["loss"] == 0.25
+    run_dir = tmp_path / "runs" / "t"
+    assert run_dir.is_dir()
+    assert any(f.startswith("events.") for f in os.listdir(run_dir))

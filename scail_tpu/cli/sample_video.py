@@ -161,6 +161,20 @@ def sampling_main(args, model_config):
     else:
         raise NotImplementedError(args.input_type)
 
+    # Jitted sampling with params as jit ARGUMENTS (engine.py:215-217): the
+    # weights stay device-resident jit inputs instead of multi-GB captured
+    # constants; per-(shape, tiling) compilations are cached across cases
+    # and across runs via the persistent compilation cache.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("shape", "tile_indices"))
+    def jit_sample(params, key, c, uc, *, shape, tile_indices=None):
+        kw = {}
+        if tile_indices is not None:
+            kw["tile_indices"] = [list(t) for t in tile_indices]
+        return engine.sample(key, c, uc=uc, batch_size=1, shape=shape,
+                             params=params, **kw)
+
     for text, cnt in data_iter:
         print_rank0(f"{cnt}: {text}")
         c, uc, shape, meta = prepare_case(engine, args, text)
@@ -172,7 +186,7 @@ def sampling_main(args, model_config):
             f.write(meta["prompt"])
 
         key = jax.random.PRNGKey(args.seed + cnt)
-        sample_kw = {}
+        tile_indices = None
         from scail_tpu.diffusion.samplers import RFSamplerLong, make_tile_indices
 
         if isinstance(engine.sampler, RFSamplerLong):
@@ -185,9 +199,9 @@ def sampling_main(args, model_config):
             smpl_tiled = jnp.stack([smpl[:, jnp.asarray(t)] for t in tiles], axis=1)
             c["smpl_tiled"] = smpl_tiled
             uc["smpl_tiled"] = smpl_tiled
-            sample_kw["tile_indices"] = tiles
-        samples_z = engine.sample(key, c, uc=uc, batch_size=1, shape=shape,
-                                  **sample_kw)
+            tile_indices = tuple(tuple(t) for t in tiles)
+        samples_z = jit_sample(engine.params["dit"], key, c, uc,
+                               shape=tuple(shape), tile_indices=tile_indices)
         samples_x = engine.decode_first_stage(samples_z)
         samples = np.clip((np.asarray(samples_x) + 1.0) / 2.0, 0.0, 1.0)
 

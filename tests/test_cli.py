@@ -106,3 +106,76 @@ def test_cli_end_to_end_examples_001(tmp_path, example_dir):
     save_multi_video_grid_and_mp4([frames01], str(tmp_path), fps=8, key="case_output")
     outs = [f for f in os.listdir(tmp_path) if f.endswith((".mp4", ".gif"))]
     assert outs, "no video written (mp4 or gif fallback)"
+
+
+class _TinyTxtEmb:
+    input_key = "txt"
+    params = {}
+
+    def get_unconditional_conditioning(self, batch, batch_uc=None, **kw):
+        import jax.numpy as jnp
+
+        return ({"crossattn": jnp.ones((1, 7, 12), jnp.float32)},
+                {"crossattn": jnp.zeros((1, 7, 12), jnp.float32)})
+
+
+class _TinyClip:
+    params = {}
+
+    def visual(self, videos):
+        import jax.numpy as jnp
+
+        return jnp.ones((1, 5, 10), jnp.float32)
+
+
+def _run_sampling_main(tmp_path, example_dir, monkeypatch, mc, extra_args=None):
+    import scail_tpu.cli.sample_video as sv
+
+    real_cls = sv.VideoDiffusionEngine
+
+    def factory(model_config, args=None):
+        eng = real_cls(mc, args)
+        eng.init_params(jax.random.PRNGKey(0))
+        eng.conditioner = _TinyTxtEmb()
+        eng.i2v_clip = _TinyClip()
+        return eng
+
+    monkeypatch.setattr(sv, "VideoDiffusionEngine", factory)
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text(f"a character dancing@@{example_dir}\n")
+    args = _args(tmp_path)
+    args.input_type = "txt"
+    args.input_file = str(prompts)
+    for k, v in (extra_args or {}).items():
+        setattr(args, k, v)
+    sv.sampling_main(args, mc)
+
+    case_dir = os.path.join(str(tmp_path), os.path.basename(example_dir))
+    assert os.path.isfile(os.path.join(case_dir, "text.txt"))
+    outs = [f for f in os.listdir(case_dir) if f.endswith((".mp4", ".gif"))]
+    assert outs, f"no video written in {case_dir}"
+
+
+@pytest.mark.slow
+def test_sampling_main_jitted_loop(tmp_path, example_dir, monkeypatch):
+    """Drives the ACTUAL CLI loop (sampling_main), now jitted with params as
+    jit arguments."""
+    mc = tiny_model_config()
+    mc["network_config"]["params"]["text_dim"] = 12
+    mc["network_config"]["params"]["clip_dim"] = 10
+    mc["sampler_config"]["params"]["num_steps"] = 2
+    _run_sampling_main(tmp_path, example_dir, monkeypatch, mc)
+
+
+@pytest.mark.slow
+def test_sampling_main_long_tiled(tmp_path, example_dir, monkeypatch):
+    """RFSamplerLong temporal tiling through the jitted CLI path."""
+    mc = tiny_model_config()
+    mc["network_config"]["params"]["text_dim"] = 12
+    mc["network_config"]["params"]["clip_dim"] = 10
+    mc["sampler_config"]["target"] = (
+        "sgm.modules.diffusionmodules.sampling.RFSamplerLong")
+    mc["sampler_config"]["params"]["num_steps"] = 2
+    _run_sampling_main(tmp_path, example_dir, monkeypatch, mc,
+                       extra_args={"long_tile": 2, "long_overlap": 1})

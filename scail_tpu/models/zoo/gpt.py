@@ -68,9 +68,12 @@ def _heads(x, n):
 
 
 def gpt_forward(params, cfg: GPTConfig, tokens,
-                cache: Optional[KVCache] = None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+                cache: Optional[KVCache] = None,
+                prefix=None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """tokens: (b, s).  Causal full/prefill forward when cache is None;
-    incremental decode (s == chunk, appended at cache.length) otherwise."""
+    incremental decode (s == chunk, appended at cache.length) otherwise.
+    `prefix`: optional (L, 2, n, P, hd) learned KV prefix, always visible
+    (PrefixTuningMixin, sat/model/finetune/prompt_tuning.py:21-46)."""
     b, s = tokens.shape
     n, hd = cfg.num_heads, cfg.head_dim
     pos0 = cache.length if cache is not None else 0
@@ -99,6 +102,15 @@ def gpt_forward(params, cfg: GPTConfig, tokens,
             kk, vv = k, v
             kv_pos = jnp.arange(s)
             valid = kv_pos[None, :] <= positions[:, None]
+
+        if prefix is not None:
+            pk, pv = prefix[li, 0], prefix[li, 1]       # (n, P, hd)
+            P = pk.shape[1]
+            pk = jnp.broadcast_to(pk.transpose(1, 0, 2)[None], (b, P, n, hd))
+            pv = jnp.broadcast_to(pv.transpose(1, 0, 2)[None], (b, P, n, hd))
+            kk = jnp.concatenate([kk, pk.astype(kk.dtype)], axis=1)
+            vv = jnp.concatenate([vv, pv.astype(vv.dtype)], axis=1)
+            valid = jnp.concatenate([valid, jnp.ones((s, P), bool)], axis=1)
 
         logits = jnp.einsum("bqnd,bknd->bnqk", q, kk,
                             preferred_element_type=jnp.float32) * (hd ** -0.5)

@@ -1,0 +1,201 @@
+"""Model-zoo breadth (VERDICT r1 item 8): LLaMA / T5 / ViT golden parity
+vs HF transformers (tiny random configs through the HF-name converters),
+plus prefix-tuning semantics on the GPT/LLaMA substrates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _sd(m):
+    return {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# LLaMA
+# ---------------------------------------------------------------------------
+def test_llama_golden_vs_hf():
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    from scail_tpu.models.zoo.llama import (LlamaConfig, llama_forward,
+                                            llama_params_from_hf)
+
+    hf_cfg = HFLlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=32, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(vocab_size=96, dim=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, inner_hidden_size=48, max_len=32)
+    params = llama_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_forward(params, cfg, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_cached_decode_matches_full(rng):
+    from scail_tpu.models.zoo.llama import (LlamaConfig, init_llama_cache,
+                                            init_llama_params, llama_forward)
+
+    cfg = LlamaConfig(vocab_size=64, dim=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, inner_hidden_size=48, max_len=16)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+
+    full, _ = llama_forward(params, cfg, toks)
+    cache = init_llama_cache(cfg, 2)
+    out, cache = llama_forward(params, cfg, toks[:, :5], cache)
+    chunks = [out]
+    for i in range(5, 8):
+        out, cache = llama_forward(params, cfg, toks[:, i : i + 1], cache)
+        chunks.append(out)
+    inc = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# T5
+# ---------------------------------------------------------------------------
+def test_t5_golden_vs_hf():
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from scail_tpu.models.zoo.t5 import T5Config, t5_forward, t5_params_from_hf
+
+    hf_cfg = HFT5Config(
+        vocab_size=80, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        decoder_start_token_id=0)
+    torch.manual_seed(1)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = T5Config(vocab_size=80, dim=32, dim_kv=8, num_heads=4,
+                   inner_hidden_size=48, num_layers=2, num_decoder_layers=2,
+                   num_buckets=8, max_distance=32, gated_mlp=True,
+                   tie_word_embeddings=False)
+    params = t5_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 80, (2, 11)).astype(np.int64)
+    mask = np.ones((2, 11), np.int64)
+    mask[1, 7:] = 0
+    dec = rng.integers(0, 80, (2, 5)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids),
+                  attention_mask=torch.from_numpy(mask),
+                  decoder_input_ids=torch.from_numpy(dec)).logits.numpy()
+    got = t5_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                     jnp.asarray(mask, jnp.int32), jnp.asarray(dec, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# ViT
+# ---------------------------------------------------------------------------
+def test_vit_golden_vs_hf():
+    from transformers import ViTConfig as HFViTConfig
+    from transformers import ViTForImageClassification
+
+    from scail_tpu.models.zoo.vit import ViTConfig, vit_forward, vit_params_from_hf
+
+    hf_cfg = HFViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, image_size=32, patch_size=16,
+        num_labels=7, hidden_act="gelu", layer_norm_eps=1e-12,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(2)
+    hf = ViTForImageClassification(hf_cfg).eval()
+
+    cfg = ViTConfig(image_size=32, patch_size=16, dim=32, num_heads=4,
+                    num_layers=2, inner_hidden_size=48, num_classes=7)
+    params = vit_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(imgs)).logits.numpy()
+    got = vit_forward(params, cfg, imgs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# prefix tuning
+# ---------------------------------------------------------------------------
+def test_prefix_tuning_semantics(rng):
+    """Prefix KV concat == manual attention over extended KV; prefix-only
+    optimizer freezes the base."""
+    import optax
+
+    from scail_tpu.models.zoo.gpt import GPTConfig, gpt_forward, init_gpt_params
+    from scail_tpu.training.prefix_tuning import (init_prefix_params,
+                                                  prefix_only_optimizer)
+
+    cfg = GPTConfig(vocab_size=50, dim=16, num_heads=2, num_layers=2, max_len=12)
+    base = init_gpt_params(jax.random.PRNGKey(0), cfg)
+    prefix = init_prefix_params(jax.random.PRNGKey(1), cfg.num_layers,
+                                cfg.num_heads, 3, cfg.head_dim)
+    toks = jnp.asarray(rng.integers(0, 50, (2, 6)), jnp.int32)
+
+    out_base, _ = gpt_forward(base, cfg, toks)
+    out_pref, _ = gpt_forward(base, cfg, toks, prefix=prefix)
+    assert out_pref.shape == out_base.shape
+    assert float(jnp.max(jnp.abs(out_pref - out_base))) > 1e-6
+
+    # gradient routing: only the prefix trains (requires_grad surgery
+    # equivalent of the reference finetune flow)
+    tree = {"base": base, "prefix": prefix}
+    tx = prefix_only_optimizer(optax.sgd(0.1))
+    opt_state = tx.init(tree)
+
+    def loss(t):
+        out, _ = gpt_forward(t["base"], cfg, toks, prefix=t["prefix"])
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss)(tree)
+    updates, _ = tx.update(grads, opt_state, tree)
+    new = optax.apply_updates(tree, updates)
+    # base frozen, prefix updated
+    db = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(
+        lambda x, y: float(jnp.sum(jnp.abs(x - y))), new["base"], base))
+    assert db == 0.0
+    assert float(jnp.sum(jnp.abs(new["prefix"] - prefix))) > 0.0
+
+
+def test_prefix_tuning_cached_decode_matches_full(rng):
+    from scail_tpu.models.zoo.llama import (LlamaConfig, init_llama_cache,
+                                            init_llama_params, llama_forward)
+    from scail_tpu.training.prefix_tuning import init_prefix_params
+
+    cfg = LlamaConfig(vocab_size=40, dim=16, num_layers=2, num_heads=4,
+                      num_kv_heads=2, inner_hidden_size=24, max_len=10)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    prefix = init_prefix_params(jax.random.PRNGKey(1), cfg.num_layers,
+                                cfg.num_kv_heads, 2, cfg.head_dim)
+    toks = jnp.asarray(rng.integers(0, 40, (1, 6)), jnp.int32)
+
+    full, _ = llama_forward(params, cfg, toks, prefix=prefix)
+    cache = init_llama_cache(cfg, 1)
+    out, cache = llama_forward(params, cfg, toks[:, :4], cache, prefix=prefix)
+    chunks = [out]
+    for i in range(4, 6):
+        out, cache = llama_forward(params, cfg, toks[:, i : i + 1], cache,
+                                   prefix=prefix)
+        chunks.append(out)
+    inc = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)

@@ -82,6 +82,11 @@ class DiTConfig:
     moe_top_k: int = 2             # mixtral-style top-k routing
     dtype: str = "bfloat16"
     remat: bool = False            # rematerialize each layer in the scan
+    # 'default': recompute everything (lowest memory).
+    # 'save_attn': save the flash kernel's (out, lse) so the remat bwd skips
+    #   re-running flash forward (~80% of layer FLOPs) at +~(S*h*2B)/layer.
+    # 'offload_attn': same, but parked in host memory instead of HBM.
+    remat_policy: str = "default"
     attn_impl: str = "auto"
 
     @property
@@ -466,7 +471,21 @@ def dit_forward(
         hidden = _shard_tokens(hidden, mesh)
         return hidden, None
 
-    body = jax.checkpoint(layer_fn) if cfg.remat else layer_fn
+    if cfg.remat:
+        if cfg.remat_policy == "save_attn":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse")
+            body = jax.checkpoint(layer_fn, policy=policy)
+        elif cfg.remat_policy == "offload_attn":
+            policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=["flash_out", "flash_lse"],
+                offload_src="device", offload_dst="pinned_host")
+            body = jax.checkpoint(layer_fn, policy=policy)
+        else:
+            body = jax.checkpoint(layer_fn)
+    else:
+        body = layer_fn
     # cast float leaves only (int8/uint8 quantized kernels keep their dtype)
     layer_params = jax.tree.map(
         lambda p: p.astype(cdtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,

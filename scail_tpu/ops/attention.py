@@ -298,7 +298,16 @@ def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
 
 
 def _flash_vjp_fwd(q, k, v, scale, block_q, block_k):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+    # Name the kernel outputs so a rematerialization policy can SAVE them:
+    # with save_only_these_names('flash_out','flash_lse') on the layer
+    # checkpoint, the remat recompute no longer re-runs the flash forward
+    # (the dominant fwd cost) -- it only recomputes the cheap projections
+    # feeding q/k/v (see DiTConfig.remat_policy).
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
@@ -310,7 +319,10 @@ def _flash_vjp_bwd(scale, block_q, block_k, res, do):
 _flash_attention_bnsd.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def _attention_pallas(q, k, v, scale, block_q=1024, block_k=1024):
+def _attention_pallas(q, k, v, scale, block_q=1024, block_k=2048):
+    # (1024, 2048) measured fastest on v5e at the 48.8k-token workload for
+    # both fwd (123 vs 123 TF/s) and fwd+bwd (130 vs 125 TF/s);
+    # (2048, 2048) exceeds scoped VMEM.
     b, sq, n, d = q.shape
     skv = k.shape[1]
     qt = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)

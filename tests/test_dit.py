@@ -176,3 +176,38 @@ def test_dit_sp_shift_matches_full(rng):
         w_shift=2,
     )
     assert out.shape == (1, 2, 16, 8, 4)
+
+
+def test_remat_policy_grads_match(rng):
+    """remat_policy variants change memory scheduling, not numerics."""
+    import dataclasses
+
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+    cfg = DiTConfig(
+        hidden_size=32, num_layers=2, num_heads=4, inner_hidden_size=48,
+        time_embed_dim=32, text_dim=12, clip_dim=10, share_adaln=True,
+        use_i2v_clip=True, dtype="float32", attn_impl="xla", remat=True,
+    )
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((1, 2, 16, 8, 8)).astype(np.float32))
+    kw = dict(
+        ref_concat=jnp.asarray(rng.standard_normal((1, 1, 16, 8, 8)).astype(np.float32)),
+        concat_smpl_render=jnp.asarray(rng.standard_normal((1, 2, 16, 4, 4)).astype(np.float32)),
+        image_clip_features=jnp.asarray(rng.standard_normal((1, 5, 10)).astype(np.float32)),
+    )
+    ts = jnp.asarray([100.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, 12)).astype(np.float32))
+
+    def g(cfg_):
+        def f(p):
+            return jnp.mean(dit_forward(p, cfg_, x, ts, ctx, **kw) ** 2)
+
+        return jax.grad(f)(params)
+
+    g_def = g(cfg)
+    g_save = g(dataclasses.replace(cfg, remat_policy="save_attn"))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6),
+        g_def, g_save)

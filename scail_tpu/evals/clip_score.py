@@ -47,7 +47,6 @@ class JaxClipScorer:
                                                  init_clip_params)
 
         if weights_path is not None:
-            self.cfg = cfg or ClipScoreConfig()
             if weights_path.endswith(".safetensors"):
                 from safetensors.numpy import load_file
 
@@ -56,7 +55,18 @@ class JaxClipScorer:
                 from scail_tpu.convert.torch_ckpt import load_torch_state_dict
 
                 sd = load_torch_state_dict(weights_path)
-            self.params = clip_params_from_hf_state_dict(sd, self.cfg)
+            if "visual.conv1.weight" in sd:  # open_clip layout (HPS_v2.pt etc.)
+                from scail_tpu.models.clip_score import clip_params_from_open_clip
+
+                if cfg is None:
+                    width = sd["visual.conv1.weight"].shape[0]
+                    cfg = (ClipScoreConfig.vit_h14() if width == 1280
+                           else ClipScoreConfig.vit_g14())
+                self.cfg = cfg
+                self.params = clip_params_from_open_clip(sd, self.cfg)
+            else:
+                self.cfg = cfg or ClipScoreConfig()
+                self.params = clip_params_from_hf_state_dict(sd, self.cfg)
         else:
             self.cfg = cfg or ClipScoreConfig(
                 vision_width=64, vision_layers=2, vision_heads=4,

@@ -51,6 +51,28 @@ class ClipScoreConfig:
     def compute_dtype(self):
         return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.dtype]
 
+    @classmethod
+    def vit_g14(cls, **kw) -> "ClipScoreConfig":
+        """open_clip ViT-g-14 (the reference CLIP-score model)."""
+        return cls(**kw)
+
+    @classmethod
+    def vit_l14(cls, **kw) -> "ClipScoreConfig":
+        """openai CLIP ViT-L/14 — the LAION aesthetic-score backbone
+        (eval/eval_aes.py uses clip.load('ViT-L/14'))."""
+        return cls(vision_width=1024, vision_layers=24, vision_heads=16,
+                   vision_mlp=4096, text_width=768, text_layers=12,
+                   text_heads=12, text_mlp=3072, embed_dim=768,
+                   hidden_act="quick_gelu", **kw)
+
+    @classmethod
+    def vit_h14(cls, **kw) -> "ClipScoreConfig":
+        """open_clip ViT-H-14 — the HPSv2 backbone (eval/eval_hps.py:57-69
+        loads CLIP-ViT-H-14-laion2B-s32B-b79K + the HPS_v2 fine-tune)."""
+        return cls(vision_width=1280, vision_layers=32, vision_heads=16,
+                   vision_mlp=5120, text_width=1024, text_layers=24,
+                   text_heads=16, text_mlp=4096, embed_dim=1024, **kw)
+
 
 def _act(cfg):
     return gelu_exact if cfg.hidden_act == "gelu" else quick_gelu
@@ -236,4 +258,68 @@ def clip_params_from_hf_state_dict(sd, cfg: ClipScoreConfig):
         },
         "visual_projection": {"kernel": g("visual_projection.weight").T},
         "text_projection": {"kernel": g("text_projection.weight").T},
+    }
+
+
+def clip_params_from_open_clip(sd, cfg: ClipScoreConfig):
+    """Map an open_clip CLIP state dict (the layout of the reference's
+    scoring checkpoints and of HPS_v2*.pt['state_dict']) onto the JAX tree.
+
+    open_clip fuses qkv as attn.in_proj_{weight,bias}; blocks live under
+    (visual.)transformer.resblocks.{i} with ln_1/ln_2 and mlp.c_fc/c_proj.
+    """
+    g = lambda k: np.asarray(sd[k])
+
+    def tower(prefix, L, d):
+        def stack(fmt, transpose=False):
+            mats = [g(fmt.format(i)) for i in range(L)]
+            if transpose:
+                mats = [m.T for m in mats]
+            return np.stack(mats)
+
+        base = f"{prefix}transformer.resblocks.{{}}"
+        in_w = stack(base + ".attn.in_proj_weight")          # (L, 3d, d)
+        in_b = stack(base + ".attn.in_proj_bias")            # (L, 3d)
+        qw, kw, vw = np.split(in_w, 3, axis=1)
+        qb, kb, vb = np.split(in_b, 3, axis=1)
+
+        def lin(kernel, bias):
+            return {"kernel": np.ascontiguousarray(kernel.transpose(0, 2, 1)),
+                    "bias": bias}
+
+        def ln(fmt):
+            return {"scale": stack(fmt + ".weight"), "bias": stack(fmt + ".bias")}
+
+        return {
+            "ln1": ln(base + ".ln_1"), "ln2": ln(base + ".ln_2"),
+            "q": lin(qw, qb), "k": lin(kw, kb), "v": lin(vw, vb),
+            "out": {"kernel": stack(base + ".attn.out_proj.weight", True),
+                    "bias": stack(base + ".attn.out_proj.bias")},
+            "fc1": {"kernel": stack(base + ".mlp.c_fc.weight", True),
+                    "bias": stack(base + ".mlp.c_fc.bias")},
+            "fc2": {"kernel": stack(base + ".mlp.c_proj.weight", True),
+                    "bias": stack(base + ".mlp.c_proj.bias")},
+        }
+
+    def ln1(name):
+        return {"scale": g(name + ".weight"), "bias": g(name + ".bias")}
+
+    return {
+        "vision": {
+            "class_embedding": g("visual.class_embedding"),
+            "patch_embedding": {"kernel": np.ascontiguousarray(
+                g("visual.conv1.weight").transpose(2, 3, 1, 0))},
+            "position_embedding": g("visual.positional_embedding"),
+            "pre_ln": ln1("visual.ln_pre"),
+            "post_ln": ln1("visual.ln_post"),
+            "layers": tower("visual.", cfg.vision_layers, cfg.vision_width),
+        },
+        "text": {
+            "token_embedding": g("token_embedding.weight"),
+            "position_embedding": g("positional_embedding"),
+            "final_ln": ln1("ln_final"),
+            "layers": tower("", cfg.text_layers, cfg.text_width),
+        },
+        "visual_projection": {"kernel": g("visual.proj")},      # (d, embed)
+        "text_projection": {"kernel": g("text_projection")},    # (d, embed)
     }

@@ -76,3 +76,60 @@ def test_clip_score_smoke_mode():
     assert np.isfinite(score)
     # identical embeddings give exactly 100
     assert abs(clip_score_from_embeddings(ie, ie) - 100.0) < 1e-4
+
+
+def test_open_clip_converter_matches_hf():
+    """Reconstruct an open_clip-layout state dict from the HF tiny model
+    (fusing q/k/v into in_proj) and assert the open_clip converter yields
+    identical params, hence identical embeddings (the HPS_v2 load path)."""
+    from scail_tpu.models.clip_score import clip_params_from_open_clip
+
+    hf = _hf_model()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    params_hf = clip_params_from_hf_state_dict(sd, CFG)
+
+    oc = {}
+    for prefix_hf, prefix_oc in (("vision_model", "visual."),
+                                 ("text_model", "")):
+        L = CFG.vision_layers if prefix_oc else CFG.text_layers
+        for i in range(L):
+            e = f"{prefix_hf}.encoder.layers.{i}"
+            o = f"{prefix_oc}transformer.resblocks.{i}"
+            qw = sd[f"{e}.self_attn.q_proj.weight"]
+            kw = sd[f"{e}.self_attn.k_proj.weight"]
+            vw = sd[f"{e}.self_attn.v_proj.weight"]
+            oc[f"{o}.attn.in_proj_weight"] = np.concatenate([qw, kw, vw], 0)
+            oc[f"{o}.attn.in_proj_bias"] = np.concatenate(
+                [sd[f"{e}.self_attn.q_proj.bias"],
+                 sd[f"{e}.self_attn.k_proj.bias"],
+                 sd[f"{e}.self_attn.v_proj.bias"]], 0)
+            oc[f"{o}.attn.out_proj.weight"] = sd[f"{e}.self_attn.out_proj.weight"]
+            oc[f"{o}.attn.out_proj.bias"] = sd[f"{e}.self_attn.out_proj.bias"]
+            for ln_hf, ln_oc in (("layer_norm1", "ln_1"), ("layer_norm2", "ln_2")):
+                oc[f"{o}.{ln_oc}.weight"] = sd[f"{e}.{ln_hf}.weight"]
+                oc[f"{o}.{ln_oc}.bias"] = sd[f"{e}.{ln_hf}.bias"]
+            oc[f"{o}.mlp.c_fc.weight"] = sd[f"{e}.mlp.fc1.weight"]
+            oc[f"{o}.mlp.c_fc.bias"] = sd[f"{e}.mlp.fc1.bias"]
+            oc[f"{o}.mlp.c_proj.weight"] = sd[f"{e}.mlp.fc2.weight"]
+            oc[f"{o}.mlp.c_proj.bias"] = sd[f"{e}.mlp.fc2.bias"]
+    oc["visual.class_embedding"] = sd["vision_model.embeddings.class_embedding"]
+    oc["visual.conv1.weight"] = sd["vision_model.embeddings.patch_embedding.weight"]
+    oc["visual.positional_embedding"] = sd[
+        "vision_model.embeddings.position_embedding.weight"]
+    oc["visual.ln_pre.weight"] = sd["vision_model.pre_layrnorm.weight"]
+    oc["visual.ln_pre.bias"] = sd["vision_model.pre_layrnorm.bias"]
+    oc["visual.ln_post.weight"] = sd["vision_model.post_layernorm.weight"]
+    oc["visual.ln_post.bias"] = sd["vision_model.post_layernorm.bias"]
+    oc["visual.proj"] = sd["visual_projection.weight"].T
+    oc["token_embedding.weight"] = sd["text_model.embeddings.token_embedding.weight"]
+    oc["positional_embedding"] = sd[
+        "text_model.embeddings.position_embedding.weight"]
+    oc["ln_final.weight"] = sd["text_model.final_layer_norm.weight"]
+    oc["ln_final.bias"] = sd["text_model.final_layer_norm.bias"]
+    oc["text_projection"] = sd["text_projection.weight"].T
+
+    params_oc = clip_params_from_open_clip(oc, CFG)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-6),
+        params_hf, params_oc)

@@ -38,12 +38,15 @@ def moe_router(x, gate_kernel, top_k: int = 2):
 
 
 def moe_mlp(x, gate, w_in, w_out, *, top_k: int = 2, act=gelu_tanh,
-            router=None):
+            router=None, w_gate=None):
     """x: (b, s, d) -> (b, s, d).
 
     gate: {'kernel': (d, E)}
     w_in: {'kernel': (E, d, f), 'bias': (E, f)?}
     w_out: {'kernel': (E, f, d), 'bias': (E, d)?}
+    w_gate: optional {'kernel': (E, d, f)} for gated experts
+            (is_gated_mlp, transformer.py:286-296 / mixtral w1):
+            h = act(x @ w_gate) * (x @ w_in)
     router: optional (weights, idx) override (testing / custom routing
             hook, the reference's `routing_forward` seam).
     """
@@ -60,7 +63,11 @@ def moe_mlp(x, gate, w_in, w_out, *, top_k: int = 2, act=gelu_tanh,
     h = jnp.einsum("bsd,edf->ebsf", x, w_in["kernel"].astype(x.dtype))
     if "bias" in w_in:
         h = h + w_in["bias"].astype(x.dtype)[:, None, None, :]
-    h = act(h)
+    if w_gate is not None:
+        g = jnp.einsum("bsd,edf->ebsf", x, w_gate["kernel"].astype(x.dtype))
+        h = act(g) * h
+    else:
+        h = act(h)
     y = jnp.einsum("ebsf,efd->ebsd", h, w_out["kernel"].astype(x.dtype))
     if "bias" in w_out:
         y = y + w_out["bias"].astype(x.dtype)[:, None, None, :]

@@ -199,3 +199,58 @@ def test_prefix_tuning_cached_decode_matches_full(rng):
     inc = jnp.concatenate(chunks, axis=1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral (sparse MoE over the llama substrate)
+# ---------------------------------------------------------------------------
+def test_mixtral_golden_vs_hf():
+    from transformers import MixtralConfig as HFMixtralConfig
+    from transformers import MixtralForCausalLM
+
+    from scail_tpu.models.zoo.mixtral import (MixtralConfig, mixtral_forward,
+                                              mixtral_params_from_hf)
+
+    hf_cfg = HFMixtralConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=32, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_dropout=0.0, output_router_logits=False)
+    torch.manual_seed(3)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+
+    cfg = MixtralConfig(vocab_size=96, dim=32, num_layers=2, num_heads=4,
+                        num_kv_heads=2, inner_hidden_size=48, num_experts=4,
+                        top_k=2, max_len=32, rope_theta=10000.0)
+    params = mixtral_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 96, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got = mixtral_forward(params, cfg, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_mixtral_ep_sharded_matches(rng):
+    """Expert-parallel sharding over 'model' == replicated forward."""
+    from scail_tpu.models.zoo.mixtral import (MixtralConfig, init_mixtral_params,
+                                              mixtral_forward,
+                                              mixtral_param_rules)
+    from scail_tpu.parallel.mesh import MeshSpec, make_mesh
+    from scail_tpu.parallel.sharding import shard_tree
+
+    cfg = MixtralConfig(vocab_size=64, dim=32, num_layers=2, num_heads=4,
+                        num_kv_heads=2, inner_hidden_size=48, num_experts=4,
+                        top_k=2, max_len=16)
+    params = init_mixtral_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+    want = np.asarray(mixtral_forward(params, cfg, ids))
+
+    mesh = make_mesh(MeshSpec(data=1, seq=1, model=4),
+                     devices=jax.devices()[:4])
+    sp = shard_tree(params, mixtral_param_rules(), mesh)
+    assert sp["layers"]["moe_w1"]["kernel"].sharding.spec[1] == "model"
+    got = np.asarray(jax.jit(lambda p, i: mixtral_forward(p, cfg, i))(sp, ids))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -193,3 +193,31 @@ def test_dit_ulysses_impl_matches(rng):
 
     got = np.asarray(run(params, x))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_vocab_parallel_cross_entropy(rng):
+    """Sharded-vocab CE == dense CE, values and grads
+    (sat/mpu/cross_entropy.py semantics)."""
+    from jax.sharding import NamedSharding
+
+    from scail_tpu.parallel.cross_entropy import vocab_parallel_cross_entropy
+
+    mesh = make_mesh(MeshSpec(data=1, seq=1, model=4),
+                     devices=jax.devices()[:4])
+    b, s, V = 2, 6, 32
+    logits = jnp.asarray(rng.standard_normal((b, s, V)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, V, (b, s)), jnp.int32)
+
+    dense = -jax.nn.log_softmax(logits, axis=-1)
+    want = np.asarray(jnp.take_along_axis(dense, targets[..., None], -1)[..., 0])
+
+    lsh = jax.device_put(logits, NamedSharding(mesh, P(None, None, MODEL_AXIS)))
+    got = np.asarray(jax.jit(
+        lambda l, t: vocab_parallel_cross_entropy(l, t, mesh))(lsh, targets))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    g_want = np.asarray(jax.grad(lambda l: jnp.sum(jnp.take_along_axis(
+        -jax.nn.log_softmax(l, -1), targets[..., None], -1)))(logits))
+    g_got = np.asarray(jax.jit(jax.grad(lambda l: jnp.sum(
+        vocab_parallel_cross_entropy(l, targets, mesh))))(lsh))
+    np.testing.assert_allclose(g_got, g_want, rtol=2e-5, atol=2e-5)

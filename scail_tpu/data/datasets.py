@@ -243,8 +243,13 @@ class TarShardDataset:
     def __iter__(self):
         import tarfile
 
+        from scail_tpu.data.gopen import gopen
+
         for shard in itertools.cycle(self.shards):
-            with tarfile.open(shard) as tf:
+            # scheme-dispatched stream (file/pipe/rclone/s3/http), the
+            # reference's gopen surface (webds.py:290-368)
+            with gopen(shard) as stream, tarfile.open(
+                    fileobj=stream, mode="r|*") as tf:
                 sample: Dict[str, Any] = {}
                 key = None
                 for member in tf:

@@ -115,3 +115,46 @@ def test_video_pose_dataset(tmp_path):
     assert item["pose"].shape == (5, 3, 16, 32)
     assert item["ref_frame"].shape == (1, 3, 16, 32)
     assert abs(item["mp4"]).max() <= 1.0 + 1e-5
+
+
+def test_gopen_file_and_pipe(tmp_path):
+    """gopen scheme dispatch (reference webds.py:290-368 surface)."""
+    from scail_tpu.data.gopen import Pipe, gopen
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"hello scail")
+    with gopen(str(p)) as f:
+        assert f.read() == b"hello scail"
+    with gopen(f"file://{p}") as f:
+        assert f.read() == b"hello scail"
+    with gopen(f"pipe:cat {p}") as f:
+        assert f.read() == b"hello scail"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gopen("gs://nope/x")
+    with _pytest.raises(OSError):
+        Pipe("exit 3").close()
+
+
+def test_tar_shard_dataset_via_pipe(tmp_path):
+    """Tar shards stream through the pipe backend end-to-end."""
+    import tarfile
+    import io as _io
+
+    from scail_tpu.data.datasets import TarShardDataset
+
+    p = tmp_path / "shard-000.tar"
+    with tarfile.open(p, "w") as tf:
+        for i in range(3):
+            for ext, payload in (("txt", f"cap {i}".encode()),
+                                 ("bin", bytes([i] * 4))):
+                info = tarfile.TarInfo(f"{i:06d}.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, _io.BytesIO(payload))
+
+    ds = TarShardDataset([f"pipe:cat {p}"], shuffle_shards=False)
+    it = iter(ds)
+    got = [next(it) for _ in range(3)]
+    assert [g["txt"] for g in got] == [b"cap 0", b"cap 1", b"cap 2"]
+    assert got[1]["bin"] == bytes([1] * 4)

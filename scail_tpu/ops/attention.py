@@ -335,6 +335,160 @@ def _attention_pallas(q, k, v, scale, block_q=1024, block_k=2048):
 
 
 # --------------------------------------------------------------------------
+# int8-QK flash attention: q/k quantized per token (max-abs/127), the s =
+# q k^T matmul runs on the int8 MXU path (2x bf16 peak on v5e) with i32
+# accumulation, rescaled to f32 before the online softmax; p@v stays bf16.
+# Replaces the reference's quantization fatbin idea (sat/quantization) on
+# the attention hot path; per-row scaling keeps the softmax inputs exact
+# to ~1e-2 relative (SageAttention-style QK quantization).  Inference
+# path: the VJP falls back to the exact bf16 kernels.
+# --------------------------------------------------------------------------
+def _quantize_rows(x):
+    """(B, S, d) -> int8 (B, S, d), f32 scales (B, S)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, lse_ref,
+                       acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]          # (bq, d) int8
+    k = k_ref[0]          # (bk, d) int8
+    v = v_ref[0]          # (bk, d) bf16
+    qs = qs_ref[0, 0][:, None]   # (bq, 1) f32
+    ks = ks_ref[0, 0][None, :]   # (1, bk) f32
+
+    s_i32 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    s = s_i32.astype(jnp.float32) * (qs * ks) * scale
+
+    kv_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-30))
+
+
+def _flash_int8_fwd(q, k, v, scale, block_q, block_k):
+    """q/k/v: (B, sq|skv, d) bf16; quantizes q/k outside the kernel."""
+    B, sq, d = q.shape
+    skv = k.shape[1]
+    qi8, qs = _quantize_rows(q)
+    ki8, ks = _quantize_rows(k)
+    pq = (-sq) % block_q
+    pk = (-skv) % block_k
+    if pq:
+        qi8 = jnp.pad(qi8, ((0, 0), (0, pq), (0, 0)))
+        qs = jnp.pad(qs, ((0, 0), (0, pq)))
+    if pk:
+        ki8 = jnp.pad(ki8, ((0, 0), (0, pk), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, pk)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    qs = qs[:, None, :]
+    ks = ks[:, None, :]
+    nq = qi8.shape[1] // block_q
+    nk = ki8.shape[1] // block_k
+
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_int8_kernel, scale=scale, kv_len=skv,
+                          block_k=block_k),
+        grid=(B, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda b, qi, ki: (b, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, qi8.shape[1], d), v.dtype),
+            jax.ShapeDtypeStruct((B, 1, qi8.shape[1]), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qi8, ki8, v, qs, ks)
+    return out[:, :sq], lse[:, 0, :sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_int8_bnsd(q, k, v, scale, block_q=1024, block_k=2048):
+    out, _ = _flash_int8_fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_int8_vjp_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_int8_fwd(q, k, v, scale, block_q, block_k)
+    # bwd reuses the exact bf16 kernels with the original q/k: the int8
+    # quantization perturbs the forward by ~1e-2 rel; using exact grads is
+    # the standard straight-through treatment
+    return out, (q, k, v, out, lse)
+
+
+def _flash_int8_vjp_bwd(scale, block_q, block_k, res, do):
+    q, k, v, o, lse = res
+    return _flash_bwd(q, k, v, o, lse, do, scale, block_q, min(block_k, 2048))
+
+
+_flash_attention_int8_bnsd.defvjp(_flash_int8_vjp_fwd, _flash_int8_vjp_bwd)
+
+
+def _attention_pallas_int8(q, k, v, scale, block_q=1024, block_k=2048):
+    b, sq, n, d = q.shape
+    skv = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * n, skv, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * n, skv, d)
+    bk = min(block_k, max(128, ((skv + 127) // 128) * 128))
+    ot = _flash_attention_int8_bnsd(qt, kt, vt, scale, block_q, bk)
+    return ot.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
+# --------------------------------------------------------------------------
 # Fused dual cross-attention: the SCAIL DiT attends the same queries over
 # text KV and CLIP KV and SUMS the two results (dit:1159-1197).  Both KVs are
 # short (<=512 tokens), so one kernel computes both exact softmaxes per query
@@ -464,4 +618,6 @@ def attention(q, k, v, *, scale: float = None, impl: str = "auto"):
         return _attention_chunked(q, k, v, scale)
     if impl == "pallas":
         return _attention_pallas(q, k, v, scale)
+    if impl == "pallas_int8":
+        return _attention_pallas_int8(q, k, v, scale)
     raise ValueError(f"unknown attention impl {impl}")

@@ -247,3 +247,26 @@ def test_attention_pallas_interpret_matches_xla(rng):
     with pltpu.force_tpu_interpret_mode():
         p = np.asarray(attention(q, k, v, impl="pallas"))
     np.testing.assert_allclose(p, a, rtol=2e-4, atol=2e-4)
+
+
+def test_attention_int8_interpret_close_to_xla(rng):
+    """int8-QK flash (interpret mode) tracks the exact computation to the
+    quantization tolerance; lse finite; kv-padding masked correctly."""
+    from scail_tpu.ops.attention import _attention_pallas_int8
+
+    b, s, n, d = 1, 384, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    from jax.experimental.pallas import tpu as pltpu
+
+    want = np.asarray(attention(q, k, v, impl="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_attention_pallas_int8(
+            q, k, v, 1.0 / np.sqrt(d), block_q=128, block_k=256))
+    err = np.abs(got - want) / (np.abs(want) + 1e-3)
+    # random uncorrelated q/k are the worst case for relative error (the
+    # averaged outputs are near zero); real activations do much better
+    assert float(err.mean()) < 5e-2, float(err.mean())
+    cos = np.sum(got * want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.999, cos

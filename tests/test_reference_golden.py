@@ -239,3 +239,38 @@ def test_dit_golden(monkeypatch):
     ))
     assert out_ours.shape == out_ref.shape == (1, T, 16, H, W)
     np.testing.assert_allclose(out_ours, out_ref, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# RF schedule plumbing (SURVEY hard part #5): sigma ladders vs the actual
+# reference discretizer + hunyuan shift + resolution shift
+# ---------------------------------------------------------------------------
+def test_rf_schedules_golden():
+    disc_ref_mod = refmods.import_ref("sgm.modules.diffusionmodules.discretizer")
+    samp_ref_mod = refmods.import_ref("sgm.modules.diffusionmodules.sampling")
+
+    from scail_tpu.diffusion.discretization import RFDiscretization
+    from scail_tpu.diffusion.samplers import (get_lin_function,
+                                              make_flow_sigmas, time_shift)
+
+    for n in (10, 25, 50):
+        ref_d = disc_ref_mod.RFDiscretization()
+        want = np.asarray(ref_d(n, device=torch.device("cpu"), flip=True))
+        got = np.asarray(RFDiscretization()(n, flip=True))
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6, atol=1e-7)
+
+    for n, shift in ((50, 5), (25, 7)):
+        want = np.asarray(samp_ref_mod.make_flow_timesteps(
+            0, n, verbose=False, shift_scale=shift, mode="normal"))
+        got = np.asarray(make_flow_sigmas(n, shift_scale=shift, mode="normal"))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    # resolution shift (sampling.py:905-918)
+    for seq_len in (1792, 4096):
+        mu = samp_ref_mod.get_lin_function(y1=0.5, y2=1.15)(seq_len)
+        assert abs(get_lin_function(y1=0.5, y2=1.15)(seq_len) - mu) < 1e-9
+        t = torch.linspace(0.02, 0.99, 13, dtype=torch.float64)
+        want = samp_ref_mod.time_shift(mu, t, mode="normal").numpy()
+        got = np.asarray([time_shift(mu, float(x), mode="normal") for x in t])
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -69,11 +69,13 @@ def _heads(x, n):
 
 def gpt_forward(params, cfg: GPTConfig, tokens,
                 cache: Optional[KVCache] = None,
-                prefix=None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+                prefix=None, adapters=None) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """tokens: (b, s).  Causal full/prefill forward when cache is None;
     incremental decode (s == chunk, appended at cache.length) otherwise.
     `prefix`: optional (L, 2, n, P, hd) learned KV prefix, always visible
-    (PrefixTuningMixin, sat/model/finetune/prompt_tuning.py:21-46)."""
+    (PrefixTuningMixin, sat/model/finetune/prompt_tuning.py:21-46).
+    `adapters`: optional bottleneck-adapter tree (training/adapters.py;
+    AdapterMixin, sat/model/finetune/adapter.py:24-48)."""
     b, s = tokens.shape
     n, hd = cfg.num_heads, cfg.head_dim
     pos0 = cache.length if cache is not None else 0
@@ -117,9 +119,21 @@ def gpt_forward(params, cfg: GPTConfig, tokens,
         logits = jnp.where(valid[None, None], logits, -1e30)
         probs = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
         o = jnp.einsum("bnqk,bknd->bqnd", probs, vv).reshape(b, s, -1)
-        x = x + dense(lp["proj"], o)
+        attn_out = dense(lp["proj"], o)
+        if adapters is not None:
+            from scail_tpu.training.adapters import apply_adapter
+
+            attn_out = apply_adapter(
+                jax.tree.map(lambda p: p[li], adapters["attn"]), attn_out)
+        x = x + attn_out
         y = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=cfg.eps)
-        x = x + dense(lp["fc2"], gelu_tanh(dense(lp["fc1"], y)))
+        mlp_out = dense(lp["fc2"], gelu_tanh(dense(lp["fc1"], y)))
+        if adapters is not None:
+            from scail_tpu.training.adapters import apply_adapter
+
+            mlp_out = apply_adapter(
+                jax.tree.map(lambda p: p[li], adapters["mlp"]), mlp_out)
+        x = x + mlp_out
 
     x = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"], eps=cfg.eps)
     logits = x @ params["wte"].T  # tied embeddings

@@ -254,3 +254,52 @@ def test_mixtral_ep_sharded_matches(rng):
     assert sp["layers"]["moe_w1"]["kernel"].sharding.spec[1] == "model"
     got = np.asarray(jax.jit(lambda p, i: mixtral_forward(p, cfg, i))(sp, ids))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# adapters + mlp head
+# ---------------------------------------------------------------------------
+def test_adapters_near_identity_and_gradient_routing(rng):
+    import optax
+
+    from scail_tpu.models.zoo.gpt import GPTConfig, gpt_forward, init_gpt_params
+    from scail_tpu.training.adapters import (adapters_only_optimizer,
+                                             init_adapter_params)
+
+    cfg = GPTConfig(vocab_size=50, dim=16, num_heads=2, num_layers=2, max_len=12)
+    base = init_gpt_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray(rng.integers(0, 50, (2, 6)), jnp.int32)
+
+    # tiny-init adapters barely perturb the base function (adapter.py reinit)
+    ad = init_adapter_params(jax.random.PRNGKey(1), cfg.num_layers, cfg.dim, 8)
+    out_base, _ = gpt_forward(base, cfg, toks)
+    out_ad, _ = gpt_forward(base, cfg, toks, adapters=ad)
+    assert float(jnp.max(jnp.abs(out_ad - out_base))) < 1e-2
+
+    tree = {"base": base, "adapters": ad}
+    tx = adapters_only_optimizer(optax.sgd(0.1))
+    st = tx.init(tree)
+
+    def loss(t):
+        out, _ = gpt_forward(t["base"], cfg, toks, adapters=t["adapters"])
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss)(tree)
+    new = optax.apply_updates(tree, tx.update(grads, st, tree)[0])
+    db = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(
+        lambda x, y: float(jnp.sum(jnp.abs(x - y))), new["base"], base))
+    da = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(
+        lambda x, y: float(jnp.sum(jnp.abs(x - y))), new["adapters"], ad))
+    assert db == 0.0 and da > 0.0
+
+
+def test_mlp_head(rng):
+    from scail_tpu.training.adapters import init_mlp_head_params, mlp_head
+
+    head = init_mlp_head_params(jax.random.PRNGKey(0), 16, 8, 3)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    out = mlp_head(head, x)
+    assert out.shape == (4, 3)
+    want = np.maximum(np.asarray(x) @ np.asarray(head[0]["kernel"]), 0.0)
+    want = want @ np.asarray(head[1]["kernel"])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)

@@ -274,3 +274,57 @@ def test_rf_schedules_golden():
         want = samp_ref_mod.time_shift(mu, t, mode="normal").numpy()
         got = np.asarray([time_shift(mu, float(x), mode="normal") for x in t])
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_rf_sampler_trajectory_golden():
+    """Full RF sampling loop vs the reference's RFSampler with an identical
+    stub denoiser: hunyuan schedule + VanillaCFG combine + Euler updates
+    must match step-for-step (sampling.py:920-982, guiders.py:23-56)."""
+    samp_ref_mod = refmods.import_ref("sgm.modules.diffusionmodules.sampling")
+
+    from scail_tpu.diffusion.samplers import RFSampler
+
+    disc_cfg = {"target": "sgm.modules.diffusionmodules.discretizer.RFDiscretization",
+                "params": {}}
+    guider_cfg = {"target": "sgm.modules.diffusionmodules.guiders.VanillaCFG",
+                  "params": {"scale": 4.0}}
+
+    ref_sampler = samp_ref_mod.RFSampler(
+        hunyuan_schedule=True, shift_scale=5, num_steps=8,
+        discretization_config=disc_cfg, guider_config=guider_cfg,
+        device="cpu", verbose=False)
+
+    our_sampler = RFSampler(
+        hunyuan_schedule=True, shift_scale=5, num_steps=8,
+        discretization_config=disc_cfg, guider_config=guider_cfg)
+
+    rng = np.random.default_rng(7)
+    x0 = rng.standard_normal((1, 2, 4, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 5, 6)).astype(np.float32)
+    cond = {"crossattn": ctx}
+    uc = {"crossattn": np.zeros_like(ctx)}
+
+    def ref_den(x, sigma, c, **kw):
+        s = sigma.reshape(-1, 1, 1, 1, 1)
+        return 0.5 * x * (1.0 - s) + c["crossattn"].mean(
+            dim=(1, 2))[:, None, None, None, None]
+
+    with torch.no_grad():
+        want = ref_sampler(
+            ref_den, torch.from_numpy(x0.copy()),
+            {"crossattn": torch.from_numpy(ctx)},
+            uc={"crossattn": torch.zeros_like(torch.from_numpy(ctx))},
+        ).numpy()
+
+    import jax.numpy as jnp
+
+    def our_den(x, sigma, c, **kw):
+        s = sigma.reshape(-1, 1, 1, 1, 1)
+        return 0.5 * x * (1.0 - s) + jnp.mean(
+            c["crossattn"], axis=(1, 2))[:, None, None, None, None]
+
+    got = np.asarray(our_sampler(
+        our_den, jnp.asarray(x0),
+        {"crossattn": jnp.asarray(ctx)},
+        uc={"crossattn": jnp.zeros_like(jnp.asarray(ctx))}))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

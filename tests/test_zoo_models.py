@@ -303,3 +303,48 @@ def test_mlp_head(rng):
     want = np.maximum(np.asarray(x) @ np.asarray(head[0]["kernel"]), 0.0)
     want = want @ np.asarray(head[1]["kernel"])
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BERT
+# ---------------------------------------------------------------------------
+def test_bert_golden_vs_hf():
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    from scail_tpu.models.zoo.bert import (BertConfig, bert_forward,
+                                           bert_params_from_hf)
+
+    hf_cfg = HFBertConfig(
+        vocab_size=90, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=24, type_vocab_size=2, hidden_act="gelu",
+        layer_norm_eps=1e-12, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(4)
+    hf = BertModel(hf_cfg).eval()
+
+    cfg = BertConfig(vocab_size=90, dim=32, num_heads=4, num_layers=2,
+                     inner_hidden_size=48, max_len=24, type_vocab_size=2)
+    params = bert_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 90, (2, 10)).astype(np.int64)
+    mask = np.ones((2, 10), np.int64)
+    mask[1, 6:] = 0
+    tt = rng.integers(0, 2, (2, 10)).astype(np.int64)
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask),
+                 token_type_ids=torch.from_numpy(tt))
+        want_seq = out.last_hidden_state.numpy()
+        want_pool = out.pooler_output.numpy()
+    got_seq, got_pool = bert_forward(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        jnp.asarray(tt, jnp.int32))
+    # masked positions may differ (HF still computes them); compare valid
+    m = mask[:, :, None]
+    np.testing.assert_allclose(np.asarray(got_seq) * m, want_seq * m,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_pool), want_pool,
+                               rtol=2e-4, atol=2e-4)

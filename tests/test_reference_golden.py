@@ -328,3 +328,44 @@ def test_rf_sampler_trajectory_golden():
         {"crossattn": jnp.asarray(ctx)},
         uc={"crossattn": jnp.zeros_like(jnp.asarray(ctx))}))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_guiders_golden():
+    """VanillaCFG / DynamicCFG / LinearPredictionGuider combine math vs the
+    reference guiders (guiders.py:23-186)."""
+    g_ref = refmods.import_ref("sgm.modules.diffusionmodules.guiders")
+    import jax.numpy as jnp
+
+    from scail_tpu.diffusion.guiders import (DynamicCFG,
+                                             LinearPredictionGuider,
+                                             VanillaCFG)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4, 3, 4, 6, 6)).astype(np.float32)  # doubled b=2
+
+    ref = g_ref.VanillaCFG(scale=4.0)
+    want = ref(torch.from_numpy(x.copy()), 0.5).numpy()
+    got = np.asarray(VanillaCFG(scale=4.0)(jnp.asarray(x), sigma=0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    ref_d = g_ref.DynamicCFG(scale=4.0, exp=5.0, num_steps=20)
+    ours_d = DynamicCFG(scale=4.0, exp=5.0, num_steps=20)
+    for step in (0, 7, 19):
+        want = ref_d(torch.from_numpy(x.copy()), 0.5,
+                     torch.tensor(step)).numpy()
+        got = np.asarray(ours_d(jnp.asarray(x), sigma=0.5, step_index=step))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=str(step))
+
+    # per-frame linear scale ramp (guiders.py:134-186).  The reference's
+    # SVD-era class takes frames flattened into batch (b*t, ...); ours takes
+    # the video layout (b, t, ...) -- same math on the same data.
+    ref_l = g_ref.LinearPredictionGuider(max_scale=4.0, num_frames=3,
+                                         min_scale=1.0)
+    xt = rng.standard_normal((4 * 3, 4, 6, 6)).astype(np.float32)  # (2b*t,...)
+    want = ref_l(torch.from_numpy(xt.copy()), torch.tensor(0.5)).numpy()
+    got = np.asarray(LinearPredictionGuider(max_scale=4.0, num_frames=3,
+                                            min_scale=1.0)(
+        jnp.asarray(xt.reshape(4, 3, 4, 6, 6))))
+    np.testing.assert_allclose(got.reshape(2 * 3, 4, 6, 6), want,
+                               rtol=1e-5, atol=1e-6)

@@ -226,3 +226,28 @@ def t5_params_from_hf(sd, cfg: T5Config):
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"kernel": g("lm_head.weight").T}
     return params
+
+
+def t5_greedy_decode(params, cfg: T5Config, ids, mask, max_new_tokens: int,
+                     start_token_id: int = 0, eos_token_id=None):
+    """Greedy decoding for the encoder-decoder surface
+    (sat/generation semantics over T5).  Returns (b, <=max_new) tokens
+    after the start token.  Encoder runs once; the decoder re-runs per
+    step (library-surface simplicity; KV-cached decode follows the
+    zoo/llama.py pattern if needed at scale)."""
+    import numpy as np_
+
+    enc = t5_encode(params, cfg, ids, mask)
+    b = ids.shape[0]
+    dec = np_.full((b, 1), start_token_id, np_.int32)
+    done = np_.zeros((b,), bool)
+    for _ in range(max_new_tokens):
+        logits = t5_decode(params, cfg, jnp.asarray(dec), enc, mask)
+        nxt = np_.asarray(jnp.argmax(logits[:, -1], axis=-1)).astype(np_.int32)
+        if eos_token_id is not None:
+            nxt = np_.where(done, eos_token_id, nxt)
+            done |= nxt == eos_token_id
+        dec = np_.concatenate([dec, nxt[:, None]], axis=1)
+        if eos_token_id is not None and done.all():
+            break
+    return dec[:, 1:]

@@ -348,3 +348,42 @@ def test_bert_golden_vs_hf():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_pool), want_pool,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_t5_greedy_decode_matches_hf_generate():
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from scail_tpu.models.zoo.t5 import (T5Config, t5_greedy_decode,
+                                         t5_params_from_hf)
+
+    hf_cfg = HFT5Config(
+        vocab_size=80, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        decoder_start_token_id=0, eos_token_id=1, pad_token_id=0)
+    torch.manual_seed(5)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = T5Config(vocab_size=80, dim=32, dim_kv=8, num_heads=4,
+                   inner_hidden_size=48, num_layers=2, num_decoder_layers=2,
+                   num_buckets=8, max_distance=32, gated_mlp=True,
+                   tie_word_embeddings=False)
+    params = t5_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2, 80, (2, 7)).astype(np.int64)
+    mask = np.ones((2, 7), np.int64)
+    with torch.no_grad():
+        want = hf.generate(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=6, do_sample=False, num_beams=1).numpy()
+    got = t5_greedy_decode(params, cfg, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray(mask, jnp.int32), 6, start_token_id=0,
+                           eos_token_id=1)
+    # HF prepends the decoder start token; compare generated portions up to
+    # the shared length
+    n = min(got.shape[1], want.shape[1] - 1)
+    np.testing.assert_array_equal(np.asarray(got)[:, :n], want[:, 1 : 1 + n])

@@ -22,6 +22,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+# the image's libtpu scopes kernel VMEM to 16MB by default; the flash blocks
+# below need more (s/p intermediate is block_q*block_k f32)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------
@@ -61,7 +66,17 @@ def _attention_chunked(q, k, v, scale, block_q: int = 512):
 # Pallas TPU flash attention (forward + custom VJP backward).
 # --------------------------------------------------------------------------
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                  *, scale, kv_len, block_k):
+                  *, n_pad):
+    """Online softmax in the log2 domain.
+
+    The caller folds `scale * log2(e)` into q, so the hot loop is both
+    multiply-free (exp2 instead of scale+exp) and mask-free: kv padding is
+    zero-padded (padded columns contribute logit 0 and v=0, so they only
+    inflate the denominator) and corrected exactly at finalize by
+    subtracting n_pad * exp2(-m) from l.  This cuts the per-element VPU
+    work of the softmax, which is what bounds this kernel on v5e (the
+    MXU side runs at <70% with the masked variant).
+    """
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -71,25 +86,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # (bq, d)
+    q = q_ref[0]  # (bq, d), pre-scaled by scale*log2e
     k = k_ref[0]  # (bk, d)
     v = v_ref[0]  # (bk, d)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale  # (bq, bk)
-
-    # mask kv padding (global kv index >= kv_len)
-    kv_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+    )  # (bq, bk), log2-domain logits
 
     m_prev = m_ref[:, :1]  # (bq, 1)
     l_prev = l_ref[:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
     l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
@@ -102,8 +112,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-30))
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        if n_pad:
+            # padded columns contributed exactly exp2(0 - m_final) each
+            # (same computed value as below), so this cancels them exactly
+            l = l - n_pad * jnp.exp2(-m)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        # natural-log lse for the backward pass / residuals
+        lse_ref[0, 0] = _LN2 * m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+
+
+def _prescale(q, scale):
+    """Fold scale and the exp->exp2 conversion into q (f32 mult, cast back)."""
+    return (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k):
@@ -111,6 +133,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
     Returns (out (B, sq, d), lse (B, sq) fp32)."""
     B, sq, d = q.shape
     skv = k.shape[1]
+    q = _prescale(q, scale)
     pq = (-sq) % block_q
     pk = (-skv) % block_k
     if pq:
@@ -121,9 +144,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
     nq = q.shape[1] // block_q
     nk = k.shape[1] // block_k
 
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
-    )
+    kernel = functools.partial(_flash_kernel, n_pad=pk)
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, nq, nk),
@@ -152,6 +173,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * q.shape[1] * k.shape[1] * d,
@@ -163,7 +185,12 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
 
 
 def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                     acc_ref, *, scale, kv_len, block_k):
+                     acc_ref, *, scale):
+    """dq pass.  q is pre-scaled by scale*log2e and lse is in the log2
+    domain, so p = exp2(min(s - lse2, 0)) is the exact softmax (the clamp
+    only affects zero-padded kv columns, whose k=0 kills their dq
+    contribution anyway, while preventing exp overflow).  The softmax
+    scale on ds is folded into the dq write at finalize."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -171,30 +198,33 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    q = q_ref[0]       # pre-scaled by scale*log2e
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]   # (bq, 1)
+    lse2 = lse_ref[0, 0][:, None]     # (bq, 1), log2-domain
     delta = delta_ref[0, 0][:, None]  # (bq, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    kv_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    p = jnp.where(kv_idx < kv_len, jnp.exp(s - lse), 0.0)
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(jnp.minimum(s - lse2, 0.0))
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(k.dtype)
+    ds = (p * (dp - delta)).astype(k.dtype)
     acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
     @pl.when(ki == nk - 1)
     def _fin():
-        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
 
 
 def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale, q_len, block_q):
+                      dk_ref, dv_ref, dk_acc, dv_acc):
+    """dk/dv pass.  Padded q rows carry lse2=0, delta=0, do=0, so they
+    contribute p_t*(0-0)=0 to dk and p_t^T*0=0 to dv -- no mask needed.
+    dk accumulates against the pre-scaled q (q2 = scale*log2e * q), so the
+    finalize multiplier is ln2 (= scale / (scale*log2e))."""
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -203,30 +233,29 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]
+    q = q_ref[0]       # pre-scaled by scale*log2e
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, 0][None, :]   # (1, bq)
+    lse2 = lse_ref[0, 0][None, :]     # (1, bq), log2-domain
     delta = delta_ref[0, 0][None, :]
 
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * scale  # (bk, bq)
-    q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
-    p_t = jnp.where(q_idx < q_len, jnp.exp(s_t - lse), 0.0)
+                              preferred_element_type=jnp.float32)  # (bk, bq)
+    p_t = jnp.exp2(jnp.minimum(s_t - lse2, 0.0))
 
     dv_acc[:] += jax.lax.dot_general(p_t.astype(do.dtype), do,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (bk, bq)
-    ds_t = (p_t * (dp_t - delta) * scale).astype(q.dtype)
+    ds_t = (p_t * (dp_t - delta)).astype(q.dtype)
     dk_acc[:] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)
     def _fin():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_acc[:] * _LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -234,6 +263,8 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
     B, sq, d = q.shape
     skv = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B, sq)
+    q = _prescale(q, scale)
+    lse = lse * _LOG2E  # log2-domain for the exp2 kernels
 
     pq = (-sq) % block_q
     pk = (-skv) % block_k
@@ -258,14 +289,15 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
                          memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, scale=scale, kv_len=skv, block_k=block_k),
+        functools.partial(_flash_dq_kernel, scale=scale),
         grid=(B, nq, nk),
         in_specs=[qspec, kspec, kspec, qspec, q1spec, q1spec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(q, k, v, do, lse, delta)
 
     # dk/dv: kv blocks in the second grid dim, q innermost
@@ -276,7 +308,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
     kspec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                           memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, scale=scale, q_len=sq, block_q=block_q),
+        _flash_dkv_kernel,
         grid=(B, nk, nq),
         in_specs=[qspec2, kspec2, kspec2, qspec2, q1spec2, q1spec2],
         out_specs=(kspec2, kspec2),
@@ -285,7 +317,8 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(q, k, v, do, lse, delta)
 
     return dq[:, :sq], dk[:, :skv], dv[:, :skv]
@@ -320,9 +353,10 @@ _flash_attention_bnsd.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def _attention_pallas(q, k, v, scale, block_q=1024, block_k=2048):
-    # (1024, 2048) measured fastest on v5e at the 48.8k-token workload for
-    # both fwd (123 vs 123 TF/s) and fwd+bwd (130 vs 125 TF/s);
-    # (2048, 2048) exceeds scoped VMEM.
+    # measured on v5e at the 48.8k-token workload with the log2-domain
+    # mask-free kernel: fwd 143.6 TF/s / fwd+bwd 137.0 at (1024, 2048);
+    # larger blocks are within 1% (143.9/138.5 peak) and (4096, 4096)
+    # regresses, so the smaller-footprint default stays.
     b, sq, n, d = q.shape
     skv = k.shape[1]
     qt = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
@@ -353,7 +387,11 @@ def _quantize_rows(x):
 
 
 def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, lse_ref,
-                       acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+                       acc_ref, m_ref, l_ref, *, n_pad):
+    """int8-QK online softmax, log2-domain (scale*log2e folded into the qs
+    row scales outside).  Padded kv columns carry ks=0 so their logits are
+    exactly 0 and v=0; the denominator is corrected at finalize like the
+    bf16 kernel."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -366,22 +404,19 @@ def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, lse_ref,
     q = q_ref[0]          # (bq, d) int8
     k = k_ref[0]          # (bk, d) int8
     v = v_ref[0]          # (bk, d) bf16
-    qs = qs_ref[0, 0][:, None]   # (bq, 1) f32
+    qs = qs_ref[0, 0][:, None]   # (bq, 1) f32, includes scale*log2e
     ks = ks_ref[0, 0][None, :]   # (1, bk) f32
 
     s_i32 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    s = s_i32.astype(jnp.float32) * (qs * ks) * scale
-
-    kv_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+    s = s_i32.astype(jnp.float32) * (qs * ks)  # log2-domain logits
 
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
     l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
@@ -393,8 +428,12 @@ def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, lse_ref,
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-30))
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        if n_pad:
+            l = l - n_pad * jnp.exp2(-m)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = _LN2 * m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
 
 
 def _flash_int8_fwd(q, k, v, scale, block_q, block_k):
@@ -403,6 +442,7 @@ def _flash_int8_fwd(q, k, v, scale, block_q, block_k):
     skv = k.shape[1]
     qi8, qs = _quantize_rows(q)
     ki8, ks = _quantize_rows(k)
+    qs = qs * (scale * _LOG2E)  # fold softmax scale + exp2 conversion
     pq = (-sq) % block_q
     pk = (-skv) % block_k
     if pq:
@@ -418,8 +458,7 @@ def _flash_int8_fwd(q, k, v, scale, block_q, block_k):
     nk = ki8.shape[1] // block_k
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_int8_kernel, scale=scale, kv_len=skv,
-                          block_k=block_k),
+        functools.partial(_flash_int8_kernel, n_pad=pk),
         grid=(B, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
@@ -450,6 +489,7 @@ def _flash_int8_fwd(q, k, v, scale, block_q, block_k):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(qi8, ki8, v, qs, ks)
     return out[:, :sq], lse[:, 0, :sq]
@@ -496,38 +536,41 @@ def _attention_pallas_int8(q, k, v, scale, block_q=1024, block_k=2048):
 # two of each, and half the kernel dispatches.
 # --------------------------------------------------------------------------
 def _dual_cross_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, o_ref,
-                       *, scale, kv1_len, kv2_len):
+                       *, n_pad1, n_pad2):
+    # q pre-scaled by scale*log2e; kv zero-padded, denominator corrected
+    # exactly (padded columns contribute exp2(0 - m) each and v=0)
     q = q_ref[0]
 
-    def one(k_ref, v_ref, kv_len):
+    def one(k_ref, v_ref, n_pad):
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+                                preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        if n_pad:
+            l = l - n_pad * jnp.exp2(-m)
         o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         return o / l
 
-    o_ref[0] = (one(k1_ref, v1_ref, kv1_len)
-                + one(k2_ref, v2_ref, kv2_len)).astype(o_ref.dtype)
+    o_ref[0] = (one(k1_ref, v1_ref, n_pad1)
+                + one(k2_ref, v2_ref, n_pad2)).astype(o_ref.dtype)
 
 
 def _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale, block_q=2048):
     b, sq, n, d = q.shape
+    q = _prescale(q, scale)
 
     def pad_kv(k):
         skv = k.shape[1]
         p = (-skv) % 128
-        return (jnp.pad(k, ((0, 0), (0, p), (0, 0), (0, 0))) if p else k), skv
+        return (jnp.pad(k, ((0, 0), (0, p), (0, 0), (0, 0))) if p else k), p
 
-    k1p, s1 = pad_kv(k1)
+    k1p, p1 = pad_kv(k1)
     v1p, _ = pad_kv(v1)
-    k2p, s2 = pad_kv(k2)
+    k2p, p2 = pad_kv(k2)
     v2p, _ = pad_kv(v2)
     pq = (-sq) % block_q
     qp = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))) if pq else q
@@ -545,13 +588,14 @@ def _dual_cross_fwd_pallas(q, k1, v1, k2, v2, scale, block_q=2048):
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_dual_cross_kernel, scale=scale, kv1_len=s1, kv2_len=s2),
+        functools.partial(_dual_cross_kernel, n_pad1=p1, n_pad2=p2),
         grid=(b * n, nq),
         in_specs=[qspec] + [kvspec(t) for t in kvs],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(qt, *kvs)
     out = out.reshape(b, n, qp.shape[1], d).transpose(0, 2, 1, 3)
     return out[:, :sq]

@@ -11,6 +11,7 @@ attention bias lives in the FIRST block of each stack and is shared.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +132,96 @@ def t5_forward(params, cfg: T5Config, ids, mask, dec_ids):
 
 
 # ---------------------------------------------------------------------------
+# KV-cached incremental decode (zoo/llama.py contract; the reference's
+# CachedAutoregressiveMixin applied to the T5 decoder).  Cross-attention
+# K/V are computed once from the encoder states at cache init.
+# ---------------------------------------------------------------------------
+class T5KVCache(NamedTuple):
+    k: jnp.ndarray    # (Ld, b, max_len, nh, dkv) self-attn keys
+    v: jnp.ndarray
+    ck: jnp.ndarray   # (Ld, b, S_enc, nh, dkv) cross-attn keys (fixed)
+    cv: jnp.ndarray
+    length: jnp.ndarray
+
+
+def init_t5_cache(params, cfg: T5Config, enc_states, max_len: int) -> T5KVCache:
+    b, S = enc_states.shape[:2]
+    nh, dkv = cfg.num_heads, cfg.dim_kv
+    Ld = cfg.num_decoder_layers
+    ck, cv = [], []
+    for li in range(Ld):
+        p = jax.tree.map(lambda t: t[li], params["decoder"]["layers"])
+        ck.append((enc_states @ p["cross"]["k"]["kernel"]).reshape(b, S, nh, dkv))
+        cv.append((enc_states @ p["cross"]["v"]["kernel"]).reshape(b, S, nh, dkv))
+    shape = (Ld, b, max_len, nh, dkv)
+    return T5KVCache(jnp.zeros(shape, enc_states.dtype),
+                     jnp.zeros(shape, enc_states.dtype),
+                     jnp.stack(ck), jnp.stack(cv), jnp.zeros([], jnp.int32))
+
+
+def _attn_with_kv(p, q_in, k, v, nh, dkv, pos_bias, mask_bias):
+    b, sq = q_in.shape[:2]
+    q = (q_in @ p["q"]["kernel"]).reshape(b, sq, nh, dkv)
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if pos_bias is not None:
+        logits = logits + pos_bias
+    if mask_bias is not None:
+        logits = logits + mask_bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, sq, nh * dkv)
+    return o @ p["o"]["kernel"]
+
+
+def t5_decode_cached(params, cfg: T5Config, dec_ids, cache: T5KVCache,
+                     enc_mask):
+    """Incremental decoder step(s): dec_ids (b, s) appended at cache.length.
+    Returns (logits (b, s, vocab), updated cache); logits match t5_decode
+    on the same prefix exactly (tests/test_zoo_models.py)."""
+    nh, dkv = cfg.num_heads, cfg.dim_kv
+    b, s = dec_ids.shape
+    max_len = cache.k.shape[2]
+    pos0 = cache.length
+    x = params["shared"][dec_ids]
+
+    # decoder rel-pos bias rows for queries pos0..pos0+s-1 over all key slots
+    buckets = _rel_buckets(max_len, max_len, cfg.num_buckets,
+                           cfg.max_distance, False)
+    bias_full = params["decoder"]["rel_bias"][buckets]      # (L, L, nh)
+    pos_bias = jax.lax.dynamic_slice_in_dim(bias_full, pos0, s, 0)
+    pos_bias = pos_bias.transpose(2, 0, 1)[None]            # (1, nh, s, L)
+    positions = pos0 + jnp.arange(s)
+    causal = jnp.where(
+        jnp.arange(max_len)[None, :] <= positions[:, None], 0.0, -1e9
+    )[None, None]
+    xmask = jnp.where(enc_mask[:, None, None, :] > 0, 0.0, -1e9)
+
+    new_k, new_v = [], []
+    for li in range(cfg.num_decoder_layers):
+        p = jax.tree.map(lambda t: t[li], params["decoder"]["layers"])
+        y = rms_norm(x, p["ln_attn"]["scale"], eps=cfg.eps)
+        k = (y @ p["attn"]["k"]["kernel"]).reshape(b, s, nh, dkv)
+        v = (y @ p["attn"]["v"]["kernel"]).reshape(b, s, nh, dkv)
+        ck_ = jax.lax.dynamic_update_slice(cache.k[li], k, (0, pos0, 0, 0))
+        cv_ = jax.lax.dynamic_update_slice(cache.v[li], v, (0, pos0, 0, 0))
+        new_k.append(ck_)
+        new_v.append(cv_)
+        x = x + _attn_with_kv(p["attn"], y, ck_, cv_, nh, dkv, pos_bias, causal)
+        y = rms_norm(x, p["ln_cross"]["scale"], eps=cfg.eps)
+        x = x + _attn_with_kv(p["cross"], y, cache.ck[li], cache.cv[li],
+                              nh, dkv, None, xmask)
+        x = _mlp(p, x, cfg, cfg.eps)
+    x = rms_norm(x, params["decoder"]["final_ln"]["scale"], eps=cfg.eps)
+    if cfg.tie_word_embeddings:
+        logits = (x * (cfg.dim ** -0.5)) @ params["shared"].T
+    else:
+        logits = x @ params["lm_head"]["kernel"]
+    out = T5KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.ck, cache.cv,
+                    cache.length + s)
+    return logits, out
+
+
+# ---------------------------------------------------------------------------
 def init_t5_params(key, cfg: T5Config):
     ks = iter(jax.random.split(key, 24))
     nh, dkv, d, f = cfg.num_heads, cfg.dim_kv, cfg.dim, cfg.inner_hidden_size
@@ -232,22 +323,24 @@ def t5_greedy_decode(params, cfg: T5Config, ids, mask, max_new_tokens: int,
                      start_token_id: int = 0, eos_token_id=None):
     """Greedy decoding for the encoder-decoder surface
     (sat/generation semantics over T5).  Returns (b, <=max_new) tokens
-    after the start token.  Encoder runs once; the decoder re-runs per
-    step (library-surface simplicity; KV-cached decode follows the
-    zoo/llama.py pattern if needed at scale)."""
+    after the start token.  Encoder runs once; the decoder advances one
+    KV-cached step per token (t5_decode_cached)."""
     import numpy as np_
 
     enc = t5_encode(params, cfg, ids, mask)
     b = ids.shape[0]
+    cache = init_t5_cache(params, cfg, enc, max_new_tokens + 1)
     dec = np_.full((b, 1), start_token_id, np_.int32)
     done = np_.zeros((b,), bool)
+    step = jnp.asarray(dec)
     for _ in range(max_new_tokens):
-        logits = t5_decode(params, cfg, jnp.asarray(dec), enc, mask)
+        logits, cache = t5_decode_cached(params, cfg, step, cache, mask)
         nxt = np_.asarray(jnp.argmax(logits[:, -1], axis=-1)).astype(np_.int32)
         if eos_token_id is not None:
             nxt = np_.where(done, eos_token_id, nxt)
             done |= nxt == eos_token_id
         dec = np_.concatenate([dec, nxt[:, None]], axis=1)
+        step = jnp.asarray(nxt[:, None])
         if eos_token_id is not None and done.all():
             break
     return dec[:, 1:]

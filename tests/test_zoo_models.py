@@ -387,3 +387,169 @@ def test_t5_greedy_decode_matches_hf_generate():
     # the shared length
     n = min(got.shape[1], want.shape[1] - 1)
     np.testing.assert_array_equal(np.asarray(got)[:, :n], want[:, 1 : 1 + n])
+
+
+# ---------------------------------------------------------------------------
+# GLM (ChatGLM4-style: partial interleaved rotary, fused gate_up, GQA)
+# ---------------------------------------------------------------------------
+def test_glm_golden_vs_hf():
+    from transformers import GlmConfig as HFGlmConfig
+    from transformers import GlmForCausalLM
+
+    from scail_tpu.models.zoo.glm import (GlmConfig, glm_forward,
+                                          glm_params_from_hf)
+
+    hf_cfg = HFGlmConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, partial_rotary_factor=0.5, max_position_embeddings=32,
+        rms_norm_eps=1.5625e-07, rope_theta=10000.0, attention_bias=True,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(4)
+    hf = GlmForCausalLM(hf_cfg).eval()
+
+    cfg = GlmConfig(vocab_size=96, dim=32, num_layers=2, num_heads=4,
+                    num_kv_heads=2, head_dim=8, inner_hidden_size=48,
+                    max_len=32)
+    params = glm_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 96, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = glm_forward(params, cfg, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_glm_cached_decode_matches_full(rng):
+    from scail_tpu.models.zoo.glm import (GlmConfig, glm_forward,
+                                          init_glm_cache, init_glm_params)
+
+    cfg = GlmConfig(vocab_size=64, dim=32, num_layers=2, num_heads=4,
+                    num_kv_heads=2, head_dim=8, inner_hidden_size=48,
+                    max_len=16)
+    params = init_glm_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+
+    full, _ = glm_forward(params, cfg, toks)
+    cache = init_glm_cache(cfg, 2)
+    out, cache = glm_forward(params, cfg, toks[:, :5], cache)
+    chunks = [out]
+    for i in range(5, 8):
+        out, cache = glm_forward(params, cfg, toks[:, i : i + 1], cache)
+        chunks.append(out)
+    inc = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# MAE (masked autoencoder over the ViT substrate)
+# ---------------------------------------------------------------------------
+def test_mae_golden_vs_hf():
+    from transformers import ViTMAEConfig, ViTMAEForPreTraining
+
+    from scail_tpu.models.zoo.mae import (MAEConfig, mae_forward, mae_loss,
+                                          mae_params_from_hf)
+
+    hf_cfg = ViTMAEConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, image_size=32, patch_size=8, num_channels=3,
+        decoder_hidden_size=24, decoder_num_hidden_layers=2,
+        decoder_num_attention_heads=4, decoder_intermediate_size=40,
+        mask_ratio=0.75, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, norm_pix_loss=False)
+    torch.manual_seed(5)
+    hf = ViTMAEForPreTraining(hf_cfg).eval()
+
+    cfg = MAEConfig(image_size=32, patch_size=8, dim=32, num_heads=4,
+                    num_layers=2, inner_hidden_size=48, decoder_dim=24,
+                    decoder_num_heads=4, decoder_num_layers=2,
+                    decoder_inner_hidden_size=40, mask_ratio=0.75)
+    params = mae_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    noise = rng.random((2, cfg.num_patches)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(imgs), noise=torch.from_numpy(noise))
+    logits, mask, _ = mae_forward(params, cfg, jnp.asarray(imgs),
+                                  jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mask), out.mask.numpy())
+    loss = mae_loss(params, cfg, jnp.asarray(imgs), jnp.asarray(noise))
+    np.testing.assert_allclose(float(loss), float(out.loss), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# YOLOS (detection tokens + mid position embeddings + DETR heads)
+# ---------------------------------------------------------------------------
+def test_yolos_golden_vs_hf():
+    from transformers import YolosConfig as HFYolosConfig
+    from transformers import YolosForObjectDetection
+
+    from scail_tpu.models.zoo.yolos import (YolosConfig, yolos_forward,
+                                            yolos_params_from_hf)
+
+    hf_cfg = HFYolosConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, image_size=[32, 48], patch_size=16,
+        num_detection_tokens=5, use_mid_position_embeddings=True,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(6)
+    hf = YolosForObjectDetection(hf_cfg).eval()
+
+    cfg = YolosConfig(image_size=(32, 48), patch_size=16, dim=32,
+                      num_heads=4, num_layers=2, inner_hidden_size=48,
+                      num_detection_tokens=5)
+    params = yolos_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(6)
+    # native size (no pos-embed interpolation)
+    imgs = rng.standard_normal((2, 3, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(imgs))
+    logits, boxes = yolos_forward(params, cfg, jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(boxes), out.pred_boxes.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+    # larger input exercises the bicubic pos-embed interpolation path
+    imgs2 = rng.standard_normal((1, 3, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        out2 = hf(torch.from_numpy(imgs2))
+    logits2, boxes2 = yolos_forward(params, cfg, jnp.asarray(imgs2))
+    np.testing.assert_allclose(np.asarray(logits2), out2.logits.numpy(),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(boxes2), out2.pred_boxes.numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_t5_cached_decode_matches_full(rng):
+    from scail_tpu.models.zoo.t5 import (T5Config, init_t5_cache,
+                                         init_t5_params, t5_decode,
+                                         t5_decode_cached, t5_encode)
+
+    cfg = T5Config(vocab_size=80, dim=32, dim_kv=8, num_heads=4,
+                   inner_hidden_size=48, num_layers=2, num_decoder_layers=2,
+                   num_buckets=8, max_distance=16)
+    params = init_t5_params(jax.random.PRNGKey(1), cfg)
+    ids = jnp.asarray(rng.integers(0, 80, (2, 7)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    dec_ids = jnp.asarray(rng.integers(0, 80, (2, 6)), jnp.int32)
+
+    enc = t5_encode(params, cfg, ids, mask)
+    full = t5_decode(params, cfg, dec_ids, enc, mask)
+
+    cache = init_t5_cache(params, cfg, enc, max_len=8)
+    out, cache = t5_decode_cached(params, cfg, dec_ids[:, :3], cache, mask)
+    chunks = [out]
+    for i in range(3, 6):
+        out, cache = t5_decode_cached(params, cfg, dec_ids[:, i : i + 1],
+                                      cache, mask)
+        chunks.append(out)
+    inc = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)

@@ -22,7 +22,11 @@ train-smoke:
 synth-example:
 	python scripts/make_synthetic_example.py examples_synth/001
 
+# CPU-forced random-init smoke at reduced geometry (the 14B bf16 model
+# does not fit one 16GB v5e chip, and full-geometry CPU sampling is
+# hours); full-size sampling runs on a TPU mesh with real weights.
 sample:
-	python -m scail_tpu.cli.sample_video \
-	  --base configs/video_model/scail_14b.yaml configs/sampling/pose_cli.yaml \
-	  --input-type txt --input-file prompts_smoke.txt
+	python -m scail_tpu.cli.sample_video --platform cpu \
+	  --base configs/video_model/scail_1p3b.yaml configs/sampling/pose_cli.yaml \
+	  --input-type txt --input-file prompts_smoke.txt \
+	  --sampling-steps 2 --image-size 128 224 --sampling-num-frames 9

@@ -26,13 +26,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", default=None, help="checkpoint dir (SAT layout)")
     p.add_argument("--mesh-seq", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=1)
-    p.add_argument("--sampling-num-frames", type=int, default=None)
+    p.add_argument("--sampling-num-frames", type=int, default=None,
+                   help="cap the number of pose/video frames used")
+    p.add_argument("--sampling-steps", type=int, default=None,
+                   help="override the sampler's num_steps (smoke runs)")
+    p.add_argument("--image-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"), help="override sampling_image_size")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a jax platform (cpu = smoke runs on boxes "
+                        "whose accelerator cannot fit the model)")
     return p
 
 
 def get_args(argv=None):
     """Returns (runtime_args: SimpleNamespace, model_config: dict)."""
     cli = build_parser().parse_args(argv)
+    if cli.platform:
+        # must land before the first backend touch; the image's
+        # sitecustomize pins JAX_PLATFORMS, so set the config too
+        import os
+
+        import jax
+
+        os.environ["JAX_PLATFORMS"] = cli.platform
+        jax.config.update("jax_platforms", cli.platform)
     cfg = load_configs(cli.base)
     run_cfg, model_cfg = split_reference_config(cfg)
 
@@ -67,4 +84,12 @@ def get_args(argv=None):
     args.mesh_seq = cli.mesh_seq
     args.mesh_model = cli.mesh_model
     args.seed = cli.seed
-    return args, dict(model_cfg)
+    args.sampling_num_frames = cli.sampling_num_frames
+    if cli.image_size is not None:
+        args.sampling_image_size = list(cli.image_size)
+    model_cfg = dict(model_cfg)
+    if cli.sampling_steps is not None:
+        sc = dict(model_cfg.get("sampler_config", {}))
+        sc["params"] = dict(sc.get("params", {}), num_steps=cli.sampling_steps)
+        model_cfg["sampler_config"] = sc
+    return args, model_cfg

@@ -92,6 +92,9 @@ def prepare_case(engine, args, text: str):
 
     pose_frames, driving_fps = load_video_frames(pose_path)
     pose_video = frames_to_tchw_normalized(pose_frames)
+    cap = getattr(args, "sampling_num_frames", None)
+    if cap:
+        pose_video = pose_video[:cap]
     pose_video = np.asarray(
         resize_for_rectangle_crop(pose_video, [target_h, target_w], "center"))
     image = np.asarray(

@@ -102,13 +102,26 @@ class VideoDiffusionEngine:
     # params
     # ------------------------------------------------------------------
     def init_params(self, key):
-        """Random-init every sub-model that has no checkpoint loaded."""
-        kd, kv, kc = jax.random.split(key, 3)
+        """Random-init every sub-model that has no checkpoint loaded
+        (smoke mode; real runs load converted weights)."""
+        import dataclasses as _dc
+
+        kd, kv, kc, kt = jax.random.split(key, 4)
         self.params["dit"] = self.network.init(kd)
         if self.first_stage_model is not None and self.first_stage_model.params is None:
             self.first_stage_model.init(kv)
         if self.i2v_clip is not None and self.i2v_clip.params is None:
             self.i2v_clip.init(kc)
+        for emb in getattr(self.conditioner, "embedders", []):
+            if getattr(emb, "params", None) is None and hasattr(emb, "init"):
+                cfg = getattr(emb, "config", None)
+                if cfg is not None and hasattr(cfg, "num_layers"):
+                    # keep width (the DiT consumes text_dim) but cut depth:
+                    # a weightless random init only needs shape-correct
+                    # embeddings, not 24 umt5-xxl layers of them
+                    emb.init(kt, _dc.replace(cfg, num_layers=min(cfg.num_layers, 2)))
+                else:
+                    emb.init(kt)
         return self.params
 
     def load_checkpoint(self, load_dir: str):

@@ -1,7 +1,13 @@
-"""BERT encoder (reference: sat/model/official/bert_model.py — post-LN
-transformer encoder with token-type embeddings, gelu MLPs, and a tanh
-pooler).  HF `BertModel` weight naming; golden-tested against
-transformers' BertModel in tests/test_zoo_models.py.
+"""BERT / RoBERTa encoders (reference: sat/model/official/bert_model.py
+and roberta_model.py — post-LN transformer encoder with token-type
+embeddings, gelu MLPs, and a tanh pooler).  HF `BertModel`/`RobertaModel`
+weight naming; golden-tested against transformers in
+tests/test_zoo_models.py.
+
+RoBERTa differs from BERT only in its position-id scheme
+(mask-derived, offset past padding_idx) and checkpoint prefix; it is a
+config flag over the same forward (roberta_model.py subclasses
+bert_model.py the same way).
 """
 
 from __future__ import annotations
@@ -26,6 +32,8 @@ class BertConfig:
     max_len: int = 512
     type_vocab_size: int = 2
     eps: float = 1e-12
+    position_style: str = "bert"   # "roberta": mask-derived, pad-offset
+    pad_token_id: int = 1          # roberta padding_idx
 
 
 def bert_forward(params, cfg: BertConfig, ids, mask=None, token_type_ids=None):
@@ -35,8 +43,15 @@ def bert_forward(params, cfg: BertConfig, ids, mask=None, token_type_ids=None):
     n, hd = cfg.num_heads, cfg.dim // cfg.num_heads
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(ids)
-    x = (params["tok"][ids] + params["pos"][jnp.arange(s)][None]
-         + params["type"][token_type_ids])
+    if cfg.position_style == "roberta":
+        # create_position_ids_from_input_ids: consecutive ids for non-pad
+        # tokens, starting at padding_idx+1; pads get padding_idx
+        nonpad = (ids != cfg.pad_token_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + cfg.pad_token_id
+        pos = params["pos"][pos_ids]
+    else:
+        pos = params["pos"][jnp.arange(s)][None]
+    x = params["tok"][ids] + pos + params["type"][token_type_ids]
     x = layer_norm(x, params["emb_ln"]["scale"], params["emb_ln"]["bias"],
                    eps=cfg.eps)
     if mask is None:
@@ -129,3 +144,14 @@ def bert_params_from_hf(sd, cfg: BertConfig):
         "pooler": {"kernel": g("pooler.dense.weight").T,
                    "bias": g("pooler.dense.bias")},
     }
+
+
+def roberta_params_from_hf(sd, cfg: BertConfig):
+    """HF RobertaModel state dict -> pytree (same layout as BERT with the
+    'roberta.'-less module names; HF drops the prefix in RobertaModel's
+    own state dict, so this is a thin alias kept for symmetry and for
+    state dicts saved from RobertaForSequenceClassification etc.)."""
+    stripped = {}
+    for k, v in sd.items():
+        stripped[k[len("roberta."):] if k.startswith("roberta.") else k] = v
+    return bert_params_from_hf(stripped, cfg)

@@ -553,3 +553,78 @@ def test_t5_cached_decode_matches_full(rng):
     inc = jnp.concatenate(chunks, axis=1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# RoBERTa (position-id scheme over the BERT substrate)
+# ---------------------------------------------------------------------------
+def test_roberta_golden_vs_hf():
+    from transformers import RobertaConfig as HFRobertaConfig
+    from transformers import RobertaModel
+
+    from scail_tpu.models.zoo.bert import (BertConfig, bert_forward,
+                                           roberta_params_from_hf)
+
+    hf_cfg = HFRobertaConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=34, type_vocab_size=1, pad_token_id=1,
+        hidden_act="gelu", layer_norm_eps=1e-12,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(7)
+    hf = RobertaModel(hf_cfg).eval()
+
+    cfg = BertConfig(vocab_size=100, dim=32, num_heads=4, num_layers=2,
+                     inner_hidden_size=48, max_len=34, type_vocab_size=1,
+                     position_style="roberta", pad_token_id=1)
+    params = roberta_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2, 100, (2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    ids[1, 6:] = 1   # padding
+    mask[1, 6:] = 0
+    with torch.no_grad():
+        out = hf(torch.from_numpy(ids), attention_mask=torch.from_numpy(mask))
+    seq, pooled = bert_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask, jnp.int32))
+    np.testing.assert_allclose(np.asarray(seq)[0], out.last_hidden_state.numpy()[0],
+                               rtol=2e-4, atol=2e-4)
+    # padded positions differ only where masked-out; compare valid region
+    np.testing.assert_allclose(np.asarray(seq)[1, :6],
+                               out.last_hidden_state.numpy()[1, :6],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# GPT-Neo (alternating global/local causal attention, unscaled qk)
+# ---------------------------------------------------------------------------
+def test_gptneo_golden_vs_hf():
+    from transformers import GPTNeoConfig as HFGPTNeoConfig
+    from transformers import GPTNeoForCausalLM
+
+    from scail_tpu.models.zoo.gptneo import (GPTNeoConfig, gptneo_forward,
+                                             gptneo_params_from_hf)
+
+    hf_cfg = HFGPTNeoConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=48, max_position_embeddings=32,
+        attention_types=[[["global", "local"], 1]], window_size=4,
+        activation_function="gelu_new", attention_dropout=0.0,
+        resid_dropout=0.0, embed_dropout=0.0)
+    torch.manual_seed(8)
+    hf = GPTNeoForCausalLM(hf_cfg).eval()
+
+    cfg = GPTNeoConfig(vocab_size=96, dim=32, num_layers=2, num_heads=4,
+                       inner_hidden_size=48, max_len=32, window_size=4)
+    params = gptneo_params_from_hf(_sd(hf), cfg)
+
+    rng = np.random.default_rng(8)
+    # seq > window_size so the local mask actually bites
+    ids = rng.integers(0, 96, (2, 12)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got = gptneo_forward(params, cfg, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

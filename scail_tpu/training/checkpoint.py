@@ -64,3 +64,86 @@ def load_checkpoint(save_dir: str, template: Dict[str, Any],
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     return ckptr.restore(path, abstract), int(it)
+
+
+class CheckpointManager:
+    """Async checkpointing + retention GC for long runs.
+
+    The reference saves synchronously and keeps every iteration
+    (model_io.py:159-230); on TPU the save stalls the step loop for
+    multi-GB states, so saves here go through `ocp.AsyncCheckpointer`
+    (device->host transfer happens up front, serialization in a
+    background thread).  The `latest` tracker is only advanced once the
+    async write has committed, so a crash mid-save can never point
+    `latest` at a torn checkpoint.  Retention: keep the newest
+    `keep_last` iterations plus every multiple of `keep_every` (0 =
+    keep none by period), mirroring typical long-run GC policies.
+    """
+
+    def __init__(self, save_dir: str, keep_last: int = 3,
+                 keep_every: int = 0, async_save: bool = True):
+        self.save_dir = os.path.abspath(save_dir)
+        self.keep_last = keep_last
+        self.keep_every = keep_every
+        self.async_save = async_save
+        self._state_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._ema_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._pending: Optional[tuple] = None  # (iteration, has_ema)
+
+    # ------------------------------------------------------------------
+    def save(self, iteration: int, state: Dict[str, Any],
+             model_config: Optional[Dict] = None, ema_params=None):
+        self._finalize()  # order saves; advances tracker for the previous one
+        it_dir = os.path.join(self.save_dir, str(iteration))
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._state_ckptr.save(os.path.join(it_dir, "state"), args=ocp.args.StandardSave(state), force=True)
+        if ema_params is not None:
+            self._ema_ckptr.save(os.path.join(it_dir, "ema"),
+                                 args=ocp.args.StandardSave({"params": ema_params}),
+                                 force=True)
+        if model_config is not None:
+            with open(os.path.join(self.save_dir, "model_config.json"), "w") as f:
+                json.dump(model_config, f, indent=2, default=str)
+        self._pending = (iteration, ema_params is not None)
+        if not self.async_save:
+            self._finalize()
+
+    def _finalize(self):
+        if self._pending is None:
+            return
+        iteration, _ = self._pending
+        self._state_ckptr.wait_until_finished()
+        self._ema_ckptr.wait_until_finished()
+        with open(_tracker_path(self.save_dir), "w") as f:
+            f.write(str(iteration))
+        self._pending = None
+        self._gc()
+
+    def wait(self):
+        """Block until the in-flight save (if any) has committed."""
+        self._finalize()
+
+    close = wait
+
+    # ------------------------------------------------------------------
+    def _retained(self, iterations):
+        keep = set(sorted(iterations)[-self.keep_last:] if self.keep_last else [])
+        if self.keep_every:
+            keep |= {i for i in iterations if i % self.keep_every == 0}
+        return keep
+
+    def _gc(self):
+        import shutil
+
+        its = []
+        for name in os.listdir(self.save_dir):
+            if name.isdigit() and os.path.isdir(os.path.join(self.save_dir, name)):
+                its.append(int(name))
+        keep = self._retained(its)
+        latest = read_latest(self.save_dir)
+        if latest is not None:
+            keep.add(int(latest))
+        for i in its:
+            if i not in keep:
+                shutil.rmtree(os.path.join(self.save_dir, str(i)),
+                              ignore_errors=True)

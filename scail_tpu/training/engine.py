@@ -51,6 +51,9 @@ class TrainConfig:
     seed: int = 1234
     skip_nan: bool = True
     check_param_sync_interval: Optional[int] = None  # (:245-296)
+    async_save: bool = True                 # overlap Orbax writes with steps
+    keep_last_checkpoints: int = 3          # retention GC (CheckpointManager)
+    keep_every_checkpoints: int = 0
 
 
 class Trainer:
@@ -193,6 +196,8 @@ class Trainer:
                 break
         if cfg.save_dir:
             self.save(int(self.state["step"]))
+        if getattr(self, "_ckpt_mgr", None) is not None:
+            self._ckpt_mgr.wait()
         return self.state
 
     def evaluate(self, data_iter, eval_loss_fn):
@@ -209,12 +214,24 @@ class Trainer:
     # ------------------------------------------------------------------
     def save(self, iteration: int):
         ema_params, _ = swap_in_ema(self.state["params"], self.state["opt_state"][1])
-        save_checkpoint(self.config.save_dir, iteration, self.state,
-                        model_config=self.model_config, ema_params=ema_params)
-        print_rank0(f"saved checkpoint iter {iteration} -> {self.config.save_dir}")
+        if getattr(self, "_ckpt_mgr", None) is None:
+            from scail_tpu.training.checkpoint import CheckpointManager
+
+            self._ckpt_mgr = CheckpointManager(
+                self.config.save_dir,
+                keep_last=self.config.keep_last_checkpoints,
+                keep_every=self.config.keep_every_checkpoints,
+                async_save=self.config.async_save)
+        self._ckpt_mgr.save(iteration, self.state,
+                            model_config=self.model_config,
+                            ema_params=ema_params)
+        print_rank0(f"saved checkpoint iter {iteration} -> {self.config.save_dir}"
+                    + (" (async)" if self.config.async_save else ""))
 
     def resume(self, save_dir: Optional[str] = None):
         """(deepspeed_training.py:98-123): continue from `latest`."""
+        if getattr(self, "_ckpt_mgr", None) is not None:
+            self._ckpt_mgr.wait()
         d = save_dir or self.config.save_dir
         if d is None or read_latest(d) is None:
             print_rank0("no checkpoint to resume from; starting fresh")

@@ -150,3 +150,36 @@ def test_metrics_writer_jsonl_and_tensorboard(tmp_path):
     run_dir = tmp_path / "runs" / "t"
     assert run_dir.is_dir()
     assert any(f.startswith("events.") for f in os.listdir(run_dir))
+
+
+def test_checkpoint_manager_async_gc(tmp_path):
+    """Async saves commit before `latest` advances; retention keeps the
+    newest keep_last plus keep_every multiples; restore is exact."""
+    import jax.numpy as jnp
+
+    from scail_tpu.training.checkpoint import (CheckpointManager,
+                                               load_checkpoint, read_latest)
+
+    mgr = CheckpointManager(str(tmp_path), keep_last=2, keep_every=4,
+                            async_save=True)
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(0)}
+    for it in range(1, 7):
+        mgr.save(it, {"w": state["w"] + it, "step": jnp.asarray(it)})
+    mgr.close()
+
+    assert read_latest(str(tmp_path)) == "6"
+    import os
+
+    kept = sorted(int(d) for d in os.listdir(str(tmp_path)) if d.isdigit())
+    # newest two (5, 6) + keep_every=4 multiples (4)
+    assert kept == [4, 5, 6], kept
+
+    restored, it = load_checkpoint(str(tmp_path), state)
+    assert it == 6
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.asarray(state["w"]) + 6)
+
+    # explicit older iteration still restorable
+    restored4, _ = load_checkpoint(str(tmp_path), state, iteration=4)
+    np.testing.assert_allclose(np.asarray(restored4["w"]),
+                               np.asarray(state["w"]) + 4)

@@ -36,9 +36,9 @@ class BertConfig:
     pad_token_id: int = 1          # roberta padding_idx
 
 
-def bert_forward(params, cfg: BertConfig, ids, mask=None, token_type_ids=None):
-    """ids/mask: (b, s).  Returns (sequence_output (b, s, d),
-    pooled_output (b, d))."""
+def bert_trunk(params, cfg: BertConfig, ids, mask=None, token_type_ids=None):
+    """Encoder trunk only: ids/mask (b, s) -> sequence output (b, s, d).
+    Shared by BERT/RoBERTa (with pooler) and DPR (cls embedding)."""
     b, s = ids.shape
     n, hd = cfg.num_heads, cfg.dim // cfg.num_heads
     if token_type_ids is None:
@@ -75,6 +75,13 @@ def bert_forward(params, cfg: BertConfig, ids, mask=None, token_type_ids=None):
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["layers"])
+    return x
+
+
+def bert_forward(params, cfg: BertConfig, ids, mask=None, token_type_ids=None):
+    """ids/mask: (b, s).  Returns (sequence_output (b, s, d),
+    pooled_output (b, d))."""
+    x = bert_trunk(params, cfg, ids, mask, token_type_ids)
     pooled = jnp.tanh(x[:, 0] @ params["pooler"]["kernel"]
                       + params["pooler"]["bias"])
     return x, pooled

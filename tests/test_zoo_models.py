@@ -628,3 +628,107 @@ def test_gptneo_golden_vs_hf():
         want = hf(torch.from_numpy(ids)).logits.numpy()
     got = gptneo_forward(params, cfg, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# DPR (question/context encoders + reader over the BERT substrate)
+# ---------------------------------------------------------------------------
+def test_dpr_golden_vs_hf():
+    from transformers import DPRConfig as HFDPRConfig
+    from transformers import DPRQuestionEncoder, DPRReader
+
+    from scail_tpu.models.zoo.bert import BertConfig
+    from scail_tpu.models.zoo.dpr import (DPRConfig, dpr_encode,
+                                          dpr_encoder_params_from_hf,
+                                          dpr_read, dpr_reader_params_from_hf)
+
+    hf_cfg = HFDPRConfig(
+        vocab_size=90, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=32, type_vocab_size=2, projection_dim=12,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(9)
+    q_enc = DPRQuestionEncoder(hf_cfg).eval()
+
+    cfg = DPRConfig(bert=BertConfig(vocab_size=90, dim=32, num_heads=4,
+                                    num_layers=2, inner_hidden_size=48,
+                                    max_len=32, type_vocab_size=2),
+                    projection_dim=12)
+    params = dpr_encoder_params_from_hf(_sd(q_enc), cfg)
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 90, (2, 8)).astype(np.int64)
+    mask = np.ones((2, 8), np.int64)
+    mask[1, 5:] = 0
+    with torch.no_grad():
+        want = q_enc(torch.from_numpy(ids),
+                     attention_mask=torch.from_numpy(mask)).pooler_output.numpy()
+    got = dpr_encode(params, cfg, jnp.asarray(ids, jnp.int32),
+                     jnp.asarray(mask, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+    # reader heads
+    torch.manual_seed(10)
+    hf_cfg0 = HFDPRConfig(
+        vocab_size=90, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=32, type_vocab_size=2, projection_dim=0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    reader = DPRReader(hf_cfg0).eval()
+    cfg0 = DPRConfig(bert=cfg.bert, projection_dim=0)
+    rparams = dpr_reader_params_from_hf(_sd(reader), cfg0)
+    with torch.no_grad():
+        out = reader(torch.from_numpy(ids), attention_mask=torch.from_numpy(mask))
+    start, end, rel = dpr_read(rparams, cfg0, jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask, jnp.int32))
+    np.testing.assert_allclose(np.asarray(start), out.start_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(end), out.end_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rel), out.relevance_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# distillation wrapper
+# ---------------------------------------------------------------------------
+def test_distill_pair_freezes_teacher(rng):
+    import optax
+
+    from scail_tpu.models.zoo.gpt import GPTConfig, gpt_forward, init_gpt_params
+    from scail_tpu.training.distill import (distill_forward, kd_loss,
+                                            student_only_optimizer)
+
+    cfg = GPTConfig(vocab_size=40, dim=16, num_heads=2, num_layers=2, max_len=12)
+    tree = {"teacher": init_gpt_params(jax.random.PRNGKey(0), cfg),
+            "student": init_gpt_params(jax.random.PRNGKey(1), cfg)}
+    toks = jnp.asarray(rng.integers(0, 40, (2, 6)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 40, (2, 6)), jnp.int32)
+
+    def fwd(params, t):
+        out, _ = gpt_forward(params, cfg, t)
+        return out
+
+    def loss(tree):
+        t, s = distill_forward(tree, fwd, fwd, toks)
+        return kd_loss(s, t, labels, temperature=2.0, alpha=0.7)
+
+    val = float(loss(tree))
+    assert np.isfinite(val) and val > 0
+
+    tx = student_only_optimizer(optax.sgd(0.1))
+    opt_state = tx.init(tree)
+    grads = jax.grad(loss)(tree)
+    updates, _ = tx.update(grads, opt_state, tree)
+    new = optax.apply_updates(tree, updates)
+    dt = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(
+        lambda x, y: float(jnp.sum(jnp.abs(x - y))),
+        new["teacher"], tree["teacher"]))
+    ds = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(
+        lambda x, y: float(jnp.sum(jnp.abs(x - y))),
+        new["student"], tree["student"]))
+    assert dt == 0.0 and ds > 0.0
+
+    # kd_loss sanity: identical logits -> soft term 0
+    z = jnp.zeros((2, 3, 5))
+    assert float(kd_loss(z, z)) < 1e-6

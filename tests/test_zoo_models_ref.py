@@ -146,3 +146,124 @@ def test_eva2_golden_vs_reference():
                          bool_masked_pos=jnp.asarray(bmp))
     np.testing.assert_allclose(np.asarray(got_m)[np.asarray(bmp)], want_m,
                                rtol=2e-4, atol=2e-4)
+
+
+def _glm_args(**over):
+    base = dict(
+        vocab_size=24, hidden_size=32, num_layers=2, num_attention_heads=4,
+        inner_hidden_size=48, hidden_size_per_attention_head=None,
+        max_sequence_length=16, layernorm_order="pre",
+        model_parallel_size=1, skip_init=False, use_gpu_initialization=False,
+        seed=1234, checkpoint_activations=False, checkpoint_num_layers=1,
+        hidden_dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        make_vocab_size_divisible_by=1, is_decoder=False,
+        layernorm_epsilon=1e-5,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_glmblock_golden_vs_reference():
+    refmods.simple_init_distributed()
+    glm_mod = refmods.import_ref("sat.model.official.glm_model")
+
+    from scail_tpu.models.zoo.glmblock import (GLMBlockConfig,
+                                               glmblock_forward,
+                                               glmblock_params_from_sat)
+
+    torch.manual_seed(13)
+    ref = glm_mod.GLMModel(_glm_args()).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    cfg = GLMBlockConfig(vocab_size=24, dim=32, num_heads=4, num_layers=2,
+                         inner_hidden_size=48, max_len=16)
+    params = glmblock_params_from_sat(_sd(ref), cfg)
+
+    rng = np.random.default_rng(13)
+    b, s = 2, 9
+    ids = rng.integers(0, 24, (b, s)).astype(np.int64)
+    pos = np.stack([np.tile(np.arange(s), (b, 1)),
+                    rng.integers(0, 16, (b, s))], axis=1).astype(np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids), torch.from_numpy(pos),
+                   torch.ones(1, 1))[0].numpy()
+
+    got = glmblock_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray(pos, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_chatglm_golden_vs_reference():
+    refmods.simple_init_distributed()
+    cg_mod = refmods.import_ref("sat.model.official.chatglm_model")
+
+    from scail_tpu.models.zoo.chatglm import (ChatGLMConfig, chatglm_forward,
+                                              chatglm_params_from_sat)
+
+    torch.manual_seed(14)
+    args = _glm_args(vocab_size=32, hidden_size=32, layernorm_order="post",
+                     bos_token_id=1, mask_token_id=2, gmask_token_id=3,
+                     pad_token_id=0)
+    ref = cg_mod.ChatGLMModel(args).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    cfg = ChatGLMConfig(vocab_size=32, dim=32, num_heads=4, num_layers=2,
+                        inner_hidden_size=48)
+    params = chatglm_params_from_sat(_sd(ref), cfg)
+
+    rng = np.random.default_rng(14)
+    b, s = 2, 7
+    ids = rng.integers(4, 32, (b, s)).astype(np.int64)
+    pos = np.stack([np.tile(np.arange(s), (b, 1)),
+                    rng.integers(0, 7, (b, s))], axis=1).astype(np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids), position_ids=torch.from_numpy(pos),
+                   attention_mask=torch.ones(1, 1))[0].numpy()
+
+    got = chatglm_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                          jnp.asarray(pos, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_glm130b_golden_vs_reference(monkeypatch):
+    refmods.simple_init_distributed()
+    g_mod = refmods.import_ref("sat.model.official.glm130B_model")
+
+    from scail_tpu.models.zoo.glm130b import (GLM130BConfig, glm130b_forward,
+                                              glm130b_params_from_sat)
+
+    # the reference hard-casts attention probs .half() (fp16-era code);
+    # keep the CPU golden in f32 by making .half a no-op for the test
+    monkeypatch.setattr(torch.Tensor, "half", lambda self: self)
+
+    torch.manual_seed(15)
+    args = _glm_args(vocab_size=32, hidden_size=32, inner_hidden_size=24,
+                     fp16=False, position_encoding_2d=True, no_glu=False)
+    # DeepNormWithGLUMixin.reinit hardcodes params_dtype=torch.half for
+    # the GLU projection; run the whole golden in f32
+    ref = g_mod.GLM130B(args).float().eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    cfg = GLM130BConfig(vocab_size=32, dim=32, num_heads=4, num_layers=2,
+                        inner_hidden_size=24, position_encoding_2d=True,
+                        glu=True)
+    params = glm130b_params_from_sat(_sd(ref), cfg)
+
+    rng = np.random.default_rng(15)
+    b, s = 2, 7
+    ids = rng.integers(0, 32, (b, s)).astype(np.int64)
+    pos = np.stack([np.tile(np.arange(s), (b, 1)),
+                    rng.integers(0, 7, (b, s))], axis=1).astype(np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids), torch.from_numpy(pos),
+                   torch.ones(1, 1))[0].numpy()
+
+    got = glm130b_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                          jnp.asarray(pos, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)

@@ -42,6 +42,10 @@ def build_argparser():
                    help=">0 enables LoRA finetuning of the DiT")
     p.add_argument("--mesh-seq", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed init from env "
+                        "(COORDINATOR_ADDRESS / WORLD_SIZE / RANK), each "
+                        "host loads its own data shard")
     return p
 
 
@@ -50,6 +54,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_argparser().parse_args(argv)
+    if args.distributed:
+        from scail_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
     cfg = load_configs(args.base)
     _, model_cfg = split_reference_config(cfg)
 
@@ -99,7 +107,12 @@ def main(argv=None):
     ds = VideoPoseDataset(args.data_root, image_size=tuple(args.image_size),
                           num_frames=args.num_frames)
     print_rank0(f"dataset: {len(ds)} examples from {args.data_root}")
+    # per-host data sharding (configure_data.py:168 dp-sharded loaders):
+    # each host feeds its own slice; with identical PRNG keys the global
+    # batch assembles across hosts through the mesh's data axis
     train_loader, _ = make_loaders(ds, args.batch_size, seed=args.seed,
+                                   rank=jax.process_index(),
+                                   world_size=jax.process_count(),
                                    start_iter=int(trainer.state["step"]))
 
     def to_device(batch):

@@ -1,5 +1,7 @@
 """Eval harness math tests (weight-free parts)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from scail_tpu.evals.clip_score import clip_score_from_embeddings
@@ -58,3 +60,77 @@ def test_i3d_preprocess(rng):
     out = preprocess_for_i3d(v, size=64)
     assert out.shape == (2, 3, 5, 64, 64)
     assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (sgm/modules/autoencoding/lpips/loss/lpips.py)
+# ---------------------------------------------------------------------------
+def test_lpips_matches_torch_oracle():
+    """Full LPIPS math vs a torch oracle implementing the reference's
+    pipeline (lpips.py:47-66) with shared random weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from scail_tpu.evals.lpips import (init_lpips_params, lpips,
+                                       lpips_params_from_torch)
+
+    rng = np.random.default_rng(21)
+    convs_ch = [3, 64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    vgg_convs = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    pools = {4, 9, 16, 23}
+    slice_ends = [4, 9, 16, 23, 30]
+    chns = [64, 128, 256, 512, 512]
+
+    vgg_sd = {}
+    for i, idx in enumerate(vgg_convs):
+        vgg_sd[f"features.{idx}.weight"] = (
+            0.05 * rng.standard_normal((convs_ch[i + 1], convs_ch[i], 3, 3))
+        ).astype(np.float32)
+        vgg_sd[f"features.{idx}.bias"] = (
+            0.01 * rng.standard_normal((convs_ch[i + 1],))).astype(np.float32)
+    lpips_sd = {f"lin{k}.model.1.weight":
+                np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32) * 0.1
+                for k, c in enumerate(chns)}
+
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32) * 0.5
+    y = (x + 0.3 * rng.standard_normal(x.shape)).astype(np.float32)
+
+    # ---- torch oracle (reference math) ----
+    def t_features(t):
+        taps, ci = [], 0
+        for idx in range(30):
+            if idx in pools:
+                t = F.max_pool2d(t, 2, 2)
+            elif idx in vgg_convs:
+                w = torch.from_numpy(vgg_sd[f"features.{idx}.weight"])
+                b = torch.from_numpy(vgg_sd[f"features.{idx}.bias"])
+                t = F.relu(F.conv2d(t, w, b, padding=1))
+                ci += 1
+            if idx + 1 in slice_ends:
+                taps.append(t)
+        return taps
+
+    shift = torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None]
+    scale = torch.tensor([0.458, 0.448, 0.450])[None, :, None, None]
+    with torch.no_grad():
+        f0 = t_features((torch.from_numpy(x) - shift) / scale)
+        f1 = t_features((torch.from_numpy(y) - shift) / scale)
+        val = 0.0
+        for kk in range(5):
+            n0 = f0[kk] / (f0[kk].pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            n1 = f1[kk] / (f1[kk].pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (n0 - n1) ** 2
+            w = torch.from_numpy(lpips_sd[f"lin{kk}.model.1.weight"])
+            val = val + F.conv2d(d, w).mean([2, 3], keepdim=True)
+        want = val[:, 0, 0, 0].numpy()
+
+    params = lpips_params_from_torch(vgg_sd, lpips_sd)
+    got = np.asarray(lpips(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # identity -> 0; random-init smoke mode runs
+    z = np.asarray(lpips(params, jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(z, np.zeros_like(z), atol=1e-7)
+    p2 = init_lpips_params(jax.random.PRNGKey(0))
+    v2 = np.asarray(lpips(p2, jnp.asarray(x), jnp.asarray(y)))
+    assert np.all(np.isfinite(v2)) and np.all(v2 >= 0)

@@ -104,15 +104,18 @@ def init_glm_cache(cfg: GlmConfig, batch: int) -> GlmKVCache:
 
 def glm_forward(params, cfg: GlmConfig, tokens,
                 cache: Optional[GlmKVCache] = None,
+                inputs_embeds=None,
                 ) -> Tuple[jnp.ndarray, Optional[GlmKVCache]]:
     """tokens: (b, s) -> logits (b, s, vocab); causal LM with optional
-    KV-cached incremental decode (zoo/gpt.py contract)."""
+    KV-cached incremental decode (zoo/gpt.py contract).  `inputs_embeds`
+    (b, s, d) overrides the token embedding (multimodal splicing,
+    zoo/glm4v.py)."""
     b, s = tokens.shape
     n, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rep = n // nkv
     pos0 = cache.length if cache is not None else 0
     positions = pos0 + jnp.arange(s)
-    x = params["embed"][tokens]
+    x = params["embed"][tokens] if inputs_embeds is None else inputs_embeds
 
     new_k, new_v = [], []
     for li in range(cfg.num_layers):

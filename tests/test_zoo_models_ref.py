@@ -267,3 +267,133 @@ def test_glm130b_golden_vs_reference(monkeypatch):
     got = glm130b_forward(params, cfg, jnp.asarray(ids, jnp.int32),
                           jnp.asarray(pos, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_evaclip_golden_vs_reference():
+    refmods.simple_init_distributed()
+    ec_mod = refmods.import_ref("sat.model.official.eva_clip_model")
+
+    from scail_tpu.models.zoo.evaclip import (EVACLIPConfig, evaclip_forward,
+                                              evaclip_params_from_sat)
+
+    torch.manual_seed(16)
+    args = _eva2_args()  # same surface: image/patch/pre/post/in_channels
+    ref = ec_mod.EVA2CLIPModel(args).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    cfg = EVACLIPConfig(image_size=16, patch_size=8, in_channels=3, dim=32,
+                        num_heads=4, num_layers=2, inner_hidden_size=48,
+                        eps=1e-6)
+    params = evaclip_params_from_sat(_sd(ref), cfg)
+
+    rng = np.random.default_rng(16)
+    imgs = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    b, seq = 2, 1 + (16 // 8) ** 2
+    input_ids = torch.zeros((b, 1), dtype=torch.long)
+    pos_ids = torch.arange(seq)[None].repeat(b, 1)
+    with torch.no_grad():
+        want = ref(input_ids, pos_ids, torch.ones(1, 1),
+                   image=torch.from_numpy(imgs), offline=True)[0].numpy()
+
+    got = evaclip_forward(params, cfg, jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_glm4v_adapter_golden_and_forward():
+    """GLU adapter + conv downsample golden vs the reference's own GLU
+    module (glm4v_model.py:28-46); full multimodal splice smoke."""
+    refmods.simple_init_distributed()
+    g4_mod = refmods.import_ref("sat.model.official.glm4v_model")
+
+    import jax
+
+    from scail_tpu.models.zoo.evaclip import EVACLIPConfig
+    from scail_tpu.models.zoo.glm import GlmConfig, init_glm_params
+    from scail_tpu.models.zoo.glm4v import (GLM4VConfig,
+                                            glm4v_adapter_params_from_sat,
+                                            glm4v_forward)
+
+    torch.manual_seed(17)
+    glu_args = argparse.Namespace(hidden_size=24, inner_hidden_size=40)
+    glu = g4_mod.GLU(glu_args, in_features=20).eval()
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 6, 20)).astype(np.float32)
+    with torch.no_grad():
+        want = glu(torch.from_numpy(x)).numpy()
+
+    sd = {"mixins.eva.linear_proj." + k: v.numpy()
+          for k, v in glu.state_dict().items()}
+    # synthesize the conv/boi/eoi pieces around the GLU golden
+    sd["mixins.eva.conv.weight"] = rng.standard_normal((20, 16, 2, 2)).astype(np.float32) * 0.1
+    sd["mixins.eva.conv.bias"] = np.zeros((20,), np.float32)
+    sd["mixins.eva.boi"] = np.ones((1, 1, 24), np.float32)
+    sd["mixins.eva.eoi"] = np.ones((1, 1, 24), np.float32)
+    ap = glm4v_adapter_params_from_sat(sd)
+
+    import jax.numpy as jnp_
+
+    from scail_tpu.models.common import gelu_exact
+    from scail_tpu.ops.norms import layer_norm
+
+    h = jnp_.asarray(x) @ ap["linear_proj"]["kernel"]
+    h = gelu_exact(layer_norm(h, ap["norm1"]["scale"], ap["norm1"]["bias"], eps=1e-5))
+    h = jax.nn.silu(h @ ap["gate"]["kernel"]) * (h @ ap["up"]["kernel"])
+    h = h @ ap["down"]["kernel"]
+    np.testing.assert_allclose(np.asarray(h), want, rtol=2e-4, atol=2e-4)
+
+    # full multimodal forward: vision tokens spliced at the mask
+    cfg = GLM4VConfig(
+        glm=GlmConfig(vocab_size=64, dim=24, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=8, inner_hidden_size=40,
+                      max_len=32),
+        vit=EVACLIPConfig(image_size=16, patch_size=4, dim=16, num_heads=4,
+                          num_layers=2, inner_hidden_size=24, eps=1e-6),
+        proj_hidden_size=20, adapter_inner=40)
+    assert cfg.image_length == 2 * 2 + 2
+
+    from scail_tpu.models.zoo.evaclip import evaclip_params_from_sat  # noqa: F401
+
+    # random-init vit + glm; adapter from above
+    def rand_vit(key):
+        ks = iter(jax.random.split(key, 20))
+        d, f, L = 16, 24, 2
+
+        def lin(din, dout):
+            return {"kernel": 0.05 * jax.random.normal(next(ks), (L, din, dout)),
+                    "bias": jnp_.zeros((L, dout))}
+
+        def ln():
+            return {"scale": jnp_.ones((L, d)), "bias": jnp_.zeros((L, d))}
+
+        return {
+            "patch_embed": {"kernel": 0.05 * jax.random.normal(next(ks), (4, 4, 3, d)),
+                            "bias": jnp_.zeros((d,))},
+            "cls": 0.05 * jax.random.normal(next(ks), (1, d)),
+            "pos": 0.05 * jax.random.normal(next(ks), (17, d)),
+            "layers": {"qkv": lin(d, 3 * d), "dense": lin(d, d), "ln1": ln(),
+                       "fc1": lin(d, f), "fc2": lin(f, d), "ln2": ln()},
+            "final_ln": {"scale": jnp_.ones((d,)), "bias": jnp_.zeros((d,))},
+        }
+
+    params = {"glm": init_glm_params(jax.random.PRNGKey(0), cfg.glm),
+              "vit": rand_vit(jax.random.PRNGKey(1)),
+              "adapter": ap}
+    b, s = 2, 12
+    toks = jnp_.asarray(rng.integers(0, 64, (b, s)), jnp_.int32)
+    mask = np.zeros((b, s), bool)
+    mask[:, 2 : 2 + cfg.image_length] = True
+    imgs = jnp_.asarray(rng.standard_normal((b, 3, 16, 16)).astype(np.float32))
+
+    logits, _ = glm4v_forward(params, cfg, toks, images=imgs,
+                              image_embed_mask=jnp_.asarray(mask))
+    assert logits.shape == (b, s, 64)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # text-only positions BEFORE the image must match the pure-text run
+    # (causal attention: only the prefix is unaffected by the splice)
+    text_logits, _ = glm4v_forward(params, cfg, toks)
+    np.testing.assert_allclose(np.asarray(logits[:, :2]),
+                               np.asarray(text_logits[:, :2]),
+                               rtol=1e-5, atol=1e-5)

@@ -86,7 +86,12 @@ class DiTConfig:
     # 'save_attn': save the flash kernel's (out, lse) so the remat bwd skips
     #   re-running flash forward (~80% of layer FLOPs) at +~(S*h*2B)/layer.
     # 'offload_attn': same, but parked in host memory instead of HBM.
+    # 'save_attn_frac': save_attn for the first remat_save_frac of the
+    #   layers, full recompute for the rest -- buys most of save_attn's
+    #   FLOP saving within a fixed HBM budget (full save_attn needs
+    #   ~4.5GB extra at the 512p 1.3B geometry and misses one chip).
     remat_policy: str = "default"
+    remat_save_frac: float = 0.5
     attn_impl: str = "auto"
 
     @property
@@ -472,7 +477,7 @@ def dit_forward(
         return hidden, None
 
     if cfg.remat:
-        if cfg.remat_policy == "save_attn":
+        if cfg.remat_policy in ("save_attn", "save_attn_frac"):
             policy = jax.checkpoint_policies.save_only_these_names(
                 "flash_out", "flash_lse")
             body = jax.checkpoint(layer_fn, policy=policy)
@@ -491,7 +496,19 @@ def dit_forward(
         lambda p: p.astype(cdtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
         params["layers"],
     )
-    hidden, _ = jax.lax.scan(body, hidden, layer_params)
+    if cfg.remat and cfg.remat_policy == "save_attn_frac":
+        # two scans: save-attn remat for the first k layers, full-recompute
+        # remat for the rest
+        k = max(0, min(cfg.num_layers,
+                       int(cfg.num_layers * cfg.remat_save_frac)))
+        head_p = jax.tree.map(lambda p: p[:k], layer_params)
+        tail_p = jax.tree.map(lambda p: p[k:], layer_params)
+        if k:
+            hidden, _ = jax.lax.scan(body, hidden, head_p)
+        if k < cfg.num_layers:
+            hidden, _ = jax.lax.scan(jax.checkpoint(layer_fn), hidden, tail_p)
+    else:
+        hidden, _ = jax.lax.scan(body, hidden, layer_params)
 
     # ---- final layer (dit:818-835)
     fl = params["final_layer"]

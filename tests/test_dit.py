@@ -211,3 +211,37 @@ def test_remat_policy_grads_match(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6),
         g_def, g_save)
+
+
+def test_remat_save_attn_frac_matches(rng):
+    """save_attn_frac remat == default remat, values and grads."""
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+    kw = dict(hidden_size=32, num_layers=4, num_heads=4, inner_hidden_size=48,
+              time_embed_dim=32, text_dim=16, clip_dim=8, share_adaln=True,
+              use_i2v_clip=True, dtype="float32", attn_impl="xla", remat=True)
+    cfg_a = DiTConfig(**kw, remat_policy="default")
+    cfg_b = DiTConfig(**kw, remat_policy="save_attn_frac", remat_save_frac=0.5)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    x = jax.random.normal(ks[0], (1, 2, 16, 8, 8))
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(ks[1], (1, 8, 16))
+    ref = jax.random.normal(ks[2], (1, 1, 16, 8, 8))
+    smpl = jax.random.normal(ks[3], (1, 2, 16, 4, 4))
+    clip = jax.random.normal(ks[4], (1, 5, 8))
+
+    def loss(cfg):
+        def f(p):
+            out = dit_forward(p, cfg, x, t, ctx, ref_concat=ref,
+                              concat_smpl_render=smpl, image_clip_features=clip)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+        return f
+
+    va, ga = jax.value_and_grad(loss(cfg_a))(params)
+    vb, gb = jax.value_and_grad(loss(cfg_b))(params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)

@@ -498,11 +498,19 @@ def dit_forward(
     )
     if cfg.remat and cfg.remat_policy == "save_attn_frac":
         # two scans: save-attn remat for the first k layers, full-recompute
-        # remat for the rest
-        k = max(0, min(cfg.num_layers,
-                       int(cfg.num_layers * cfg.remat_save_frac)))
-        head_p = jax.tree.map(lambda p: p[:k], layer_params)
-        tail_p = jax.tree.map(lambda p: p[k:], layer_params)
+        # remat for the rest.  In-graph slicing of the stacked layer stack
+        # would MATERIALIZE head/tail copies next to the live originals
+        # (+2x layer params HBM, measured +2.6GB at 1.3B); trainers should
+        # pre-split with split_layer_params() outside jit, which this
+        # consumes as-is.
+        if isinstance(layer_params, dict) and "head_layers" in layer_params:
+            k = jax.tree.leaves(layer_params["head_layers"])[0].shape[0]
+            head_p, tail_p = (layer_params["head_layers"],
+                              layer_params["tail_layers"])
+        else:
+            k = save_attn_head_layers(cfg)
+            head_p = jax.tree.map(lambda p: p[:k], layer_params)
+            tail_p = jax.tree.map(lambda p: p[k:], layer_params)
         if k:
             hidden, _ = jax.lax.scan(body, hidden, head_p)
         if k < cfg.num_layers:
@@ -521,6 +529,41 @@ def dit_forward(
     out = dense(fl["linear"], out)
     out = out[:, ref_len : ref_len + seq_len]
     return _unpatchify(out, T, Hp, Wp, cfg.patch_size, cfg.out_channels)
+
+
+def save_attn_head_layers(cfg: DiTConfig) -> int:
+    """Number of leading layers the save_attn_frac policy keeps flash
+    state for."""
+    return max(0, min(cfg.num_layers,
+                      int(cfg.num_layers * cfg.remat_save_frac)))
+
+
+def split_layer_params(params, cfg: DiTConfig):
+    """Restructure params['layers'] (stacked (L, ...) leaves) into
+    {'head_layers': (k, ...), 'tail_layers': (L-k, ...)} for the
+    save_attn_frac remat policy.  Call OUTSIDE jit (once, at trainer
+    startup) so the split buffers replace the stacked ones instead of
+    coexisting with them; init optimizer state after this so its tree
+    matches."""
+    k = save_attn_head_layers(cfg)
+    out = dict(params)
+    out["layers"] = {
+        "head_layers": jax.tree.map(lambda p: p[:k], params["layers"]),
+        "tail_layers": jax.tree.map(lambda p: p[k:], params["layers"]),
+    }
+    return out
+
+
+def unsplit_layer_params(params):
+    """Inverse of split_layer_params (for checkpoint export)."""
+    if not (isinstance(params.get("layers"), dict)
+            and "head_layers" in params["layers"]):
+        return params
+    out = dict(params)
+    out["layers"] = jax.tree.map(
+        lambda h, t: jnp.concatenate([h, t], axis=0),
+        params["layers"]["head_layers"], params["layers"]["tail_layers"])
+    return out
 
 
 def _apply_scail_rope(t, rope, ref_len, seq_len, pose_len, interleaved):

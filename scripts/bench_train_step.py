@@ -40,7 +40,9 @@ def main():
     ap.add_argument("--mode", choices=["step", "grad", "fwd"], default="step",
                     help="time the full step, grad-only, or fwd-only loss")
     ap.add_argument("--remat-policy", default="default",
-                    choices=["default", "save_attn", "offload_attn"])
+                    choices=["default", "save_attn", "offload_attn",
+                             "save_attn_frac"])
+    ap.add_argument("--save-frac", type=float, default=0.5)
     args = ap.parse_args()
 
     import optax
@@ -57,7 +59,8 @@ def main():
             hidden_size=1536, num_layers=30, num_heads=12,
             inner_hidden_size=8960, time_embed_dim=1536, share_adaln=True,
             use_i2v_clip=True, dtype="bfloat16", attn_impl="pallas",
-            remat=not args.no_remat, remat_policy=args.remat_policy)
+            remat=not args.no_remat, remat_policy=args.remat_policy,
+            remat_save_frac=args.save_frac)
         b, T, H, W = 1, (args.frames - 1) // 4 + 1, 64, 112
         s_txt, s_clip = 512, 257
         peak_tflops = 197.0
@@ -66,7 +69,8 @@ def main():
             hidden_size=128, num_layers=2, num_heads=2, inner_hidden_size=256,
             time_embed_dim=128, text_dim=64, clip_dim=32, share_adaln=True,
             use_i2v_clip=True, dtype="float32", attn_impl="xla",
-            remat=not args.no_remat, remat_policy=args.remat_policy)
+            remat=not args.no_remat, remat_policy=args.remat_policy,
+            remat_save_frac=args.save_frac)
         b, T, H, W = 1, 2, 8, 8
         s_txt, s_clip = 16, 9
         peak_tflops = 1.0
@@ -74,6 +78,11 @@ def main():
     key = jax.random.PRNGKey(0)
     params = jax.tree.map(lambda p: p.astype(cfg.compute_dtype),
                           init_dit_params(key, cfg))
+    if cfg.remat_policy == "save_attn_frac":
+        from scail_tpu.models.dit import split_layer_params
+        # pre-split outside jit so the two scans don't materialize
+        # head/tail copies next to the stacked originals (+2.6GB at 1.3B)
+        params = split_layer_params(params, cfg)
     n_params = sum(p.size for p in jax.tree.leaves(params))
 
     if args.optimizer == "ema_adam":

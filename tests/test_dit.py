@@ -245,3 +245,13 @@ def test_remat_save_attn_frac_matches(rng):
     for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=1e-5, atol=1e-6)
+
+    # pre-split layout (what trainers pass to avoid in-graph slicing)
+    from scail_tpu.models.dit import split_layer_params, unsplit_layer_params
+    sp = split_layer_params(params, cfg_b)
+    vc, gc = jax.value_and_grad(loss(cfg_b))(sp)
+    np.testing.assert_allclose(float(vc), float(va), rtol=1e-6)
+    gc = unsplit_layer_params(gc)
+    for pa, pc in zip(jax.tree.leaves(ga), jax.tree.leaves(gc)):
+        np.testing.assert_allclose(np.asarray(pc), np.asarray(pa),
+                                   rtol=1e-5, atol=1e-6)

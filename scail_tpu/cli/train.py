@@ -91,6 +91,19 @@ def main(argv=None):
         lora_mask_tree = lora_mask(params)
         print_rank0(f"LoRA finetuning enabled (rank {args.lora_rank})")
 
+    dcfg = engine.network.config
+    if getattr(dcfg, "remat", False) and \
+            getattr(dcfg, "remat_policy", "") == "save_attn_frac":
+        # pre-split the layer stack outside jit; in-graph slicing would
+        # keep head/tail copies live next to the stacked originals
+        # (+2x layer params HBM).  Checkpoints store the split layout;
+        # unsplit_layer_params restores the stacked one for export.
+        from scail_tpu.models.dit import save_attn_head_layers, split_layer_params
+
+        params = split_layer_params(params, dcfg)
+        print_rank0("save_attn_frac remat: layer stack pre-split "
+                    f"({save_attn_head_layers(dcfg)} head layers)")
+
     def loss_fn(dit_params, key, batch):
         engine.params["dit"] = dit_params
         loss, _ = engine.shared_step(key, batch)

@@ -147,7 +147,17 @@ class VideoDiffusionEngine:
         ckptr = ocp.StandardCheckpointer()
         bundle_dir = os.path.abspath(bundle_dir)
         if os.path.isdir(os.path.join(bundle_dir, "dit")):
-            self.params["dit"] = ckptr.restore(os.path.join(bundle_dir, "dit"))
+            from scail_tpu.models.dit import unsplit_layer_params
+
+            # bundles written by a save_attn_frac training run store the
+            # pre-split layer stack; restore the stacked layout unless
+            # this engine trains with the same policy
+            restored = ckptr.restore(os.path.join(bundle_dir, "dit"))
+            cfg = self.network.config
+            if not (getattr(cfg, "remat", False)
+                    and getattr(cfg, "remat_policy", "") == "save_attn_frac"):
+                restored = unsplit_layer_params(restored)
+            self.params["dit"] = restored
         if (self.first_stage_model is not None
                 and os.path.isdir(os.path.join(bundle_dir, "vae"))):
             self.first_stage_model.params = ckptr.restore(

@@ -90,8 +90,12 @@ class DiTConfig:
     #   layers, full recompute for the rest -- buys most of save_attn's
     #   FLOP saving within a fixed HBM budget (full save_attn needs
     #   ~4.5GB extra at the 512p 1.3B geometry and misses one chip).
+    #   Measured on v5e-16GB at that geometry (pre-split layer stack,
+    #   split_layer_params): 0.7 -> 18.3s/step 47.3% MFU (best; 0.76+
+    #   hits HBM-edge spill and regresses, 0.8+ OOMs) vs default
+    #   19.9s/43.5%.
     remat_policy: str = "default"
-    remat_save_frac: float = 0.5
+    remat_save_frac: float = 0.7
     attn_impl: str = "auto"
 
     @property

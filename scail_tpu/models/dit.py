@@ -97,6 +97,11 @@ class DiTConfig:
     remat_policy: str = "default"
     remat_save_frac: float = 0.7
     attn_impl: str = "auto"
+    # attn_impl='sta' knobs: strip tiles of (sta_tile[0] latent frames,
+    # sta_tile[1] latent rows, full width); clamped window in tiles.
+    # Tiles must divide (T, Hp) of the geometry (ops/sta.py).
+    sta_tile: tuple = (3, 4)
+    sta_window: tuple = (3, 3)
 
     @property
     def head_dim(self) -> int:
@@ -428,6 +433,15 @@ def dit_forward(
             from scail_tpu.parallel.ulysses import ulysses_attention
 
             attn = ulysses_attention(q, k, v, mesh, impl="auto")
+        elif cfg.attn_impl == "sta":
+            # opt-in sliding-tile sparse sampling mode (ops/sta.py);
+            # ref+pose streams stay dense, video attends a clamped
+            # (t, h)-strip tile window
+            from scail_tpu.ops.sta import sta_attention
+
+            attn = sta_attention(
+                q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
+                pose_len=pose_len, tile=cfg.sta_tile, window=cfg.sta_window)
         else:
             attn = attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))

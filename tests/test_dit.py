@@ -255,3 +255,43 @@ def test_remat_save_attn_frac_matches(rng):
     for pa, pc in zip(jax.tree.leaves(ga), jax.tree.leaves(gc)):
         np.testing.assert_allclose(np.asarray(pc), np.asarray(pa),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dit_sta_impl_full_window_matches_dense(rng):
+    """attn_impl='sta' with a window covering every tile == dense xla
+    attention (same softmax sets); a sparse window runs and differs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+    kw = dict(hidden_size=32, num_layers=2, num_heads=4, inner_hidden_size=48,
+              time_embed_dim=32, text_dim=16, clip_dim=8, share_adaln=True,
+              use_i2v_clip=True, dtype="float32")
+    # latent (T=2, H=8, W=8) -> patches (2, 4, 4); strip tiles (1, 2)
+    cfg_dense = DiTConfig(**kw, attn_impl="xla")
+    cfg_full = DiTConfig(**kw, attn_impl="sta", sta_tile=(1, 2),
+                         sta_window=(2, 2))
+    cfg_sparse = DiTConfig(**kw, attn_impl="sta", sta_tile=(1, 2),
+                           sta_window=(1, 1))
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_dense)
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    x = jax.random.normal(ks[0], (1, 2, 16, 8, 8))
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(ks[1], (1, 8, 16))
+    ref = jax.random.normal(ks[2], (1, 1, 16, 8, 8))
+    smpl = jax.random.normal(ks[3], (1, 2, 16, 4, 4))
+    clip = jax.random.normal(ks[4], (1, 5, 8))
+
+    def run(cfg):
+        return dit_forward(params, cfg, x, t, ctx, ref_concat=ref,
+                           concat_smpl_render=smpl, image_clip_features=clip)
+
+    want = run(cfg_dense)
+    with pltpu.force_tpu_interpret_mode():
+        got_full = run(cfg_full)
+        got_sparse = run(cfg_sparse)
+    np.testing.assert_allclose(np.asarray(got_full), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert np.isfinite(np.asarray(got_sparse)).all()
+    assert np.abs(np.asarray(got_sparse) - np.asarray(want)).max() > 1e-4

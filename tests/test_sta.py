@@ -1,0 +1,71 @@
+"""Sliding-tile attention (ops/sta.py): parity with masked dense
+attention under the equivalent block mask, and exact equality with
+dense attention when the window covers every tile."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from scail_tpu.ops.sta import sta_attention, sta_block_mask
+
+T, HP, WP = 4, 4, 8
+REF, POSE = 8, 12
+S = REF + T * HP * WP + POSE
+
+
+def _masked_dense(q, k, v, mask, scale):
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(jnp.asarray(mask)[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v)
+
+
+def _qkv(seed):
+    rng = np.random.default_rng(seed)
+    shp = (2, S, 2, 128)
+    return [jnp.asarray(rng.standard_normal(shp), jnp.float32)
+            for _ in range(3)]
+
+
+@pytest.mark.parametrize("window", [(1, 1), (2, 1)])
+def test_sta_matches_masked_dense(window):
+    q, k, v = _qkv(0)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    kw = dict(grid_thw=(T, HP, WP), ref_len=REF, pose_len=POSE,
+              tile=(2, 2), window=window)
+    with pltpu.force_tpu_interpret_mode():
+        got = sta_attention(q, k, v, **kw)
+    mask = sta_block_mask(S, (T, HP, WP), REF, POSE, (2, 2), window)
+    want = _masked_dense(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sta_full_window_equals_dense():
+    q, k, v = _qkv(1)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    with pltpu.force_tpu_interpret_mode():
+        got = sta_attention(q, k, v, grid_thw=(T, HP, WP), ref_len=REF,
+                            pose_len=POSE, tile=(2, 2), window=(2, 2))
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = jnp.einsum("bnqk,bknd->bqnd", probs, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sta_mask_structure():
+    mask = sta_block_mask(S, (T, HP, WP), REF, POSE, (2, 2), (1, 1))
+    glob = np.r_[np.arange(REF), np.arange(S - POSE, S)]
+    assert mask[glob].all()          # global queries are dense
+    assert mask[:, glob].all()       # everyone attends global tokens
+    vid = np.setdiff1d(np.arange(S), glob)
+    sub = mask[np.ix_(vid, vid)]
+    assert not sub.all() and sub.any()   # genuinely sparse video block
+    assert np.diag(sub).all()            # every video token sees itself

@@ -142,6 +142,9 @@ class DiTConfig:
             interleaved_rope=pos.get("interleaved_rope", False),
             num_experts=p.get("num_experts", 1),
             moe_top_k=p.get("moe_top_k", 2),
+            attn_impl=p.get("attn_impl", "auto"),
+            sta_tile=tuple(p.get("sta_tile", (3, 4))),
+            sta_window=tuple(p.get("sta_window", (3, 3))),
             dtype={"bf16": "bfloat16", "fp16": "float16", "fp32": "float32"}.get(
                 p.get("dtype", "bf16"), p.get("dtype", "bfloat16")
             ),

@@ -88,8 +88,11 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad):
     n_steps = table.shape[1]
     qv = _prescale(qv, scale)
 
-    def _kernel(table_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref):
+    def _kernel(table_ref, q_ref, k_ref, v_ref, o_ref,
+                lse_ref, acc_ref, m_ref, l_ref):
+        # lse lives in scratch: sampling never consumes it, and a real
+        # (1, 1, ts) output block would violate the TPU 128-lane rule
+        # for ts that is only 8-aligned
         _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                       acc_ref, m_ref, l_ref, n_pad=n_pad)
 
@@ -103,23 +106,18 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad):
             pl.BlockSpec((1, ts, d),
                          lambda b, qi, ki, tref: (b, tref[qi, ki], 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, ts, d), lambda b, qi, ki, tref: (b, qi, 0)),
-            pl.BlockSpec((1, 1, ts), lambda b, qi, ki, tref: (b, 0, qi)),
-        ),
+        out_specs=pl.BlockSpec((1, ts, d), lambda b, qi, ki, tref: (b, qi, 0)),
         scratch_shapes=[
+            pltpu.VMEM((1, 1, ts), jnp.float32),
             pltpu.VMEM((ts, d), jnp.float32),
             pltpu.VMEM((ts, 128), jnp.float32),
             pltpu.VMEM((ts, 128), jnp.float32),
         ],
     )
-    out, _ = pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct(qv.shape, qv.dtype),
-            jax.ShapeDtypeStruct((B, 1, sq), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct(qv.shape, qv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,

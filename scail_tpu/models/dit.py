@@ -99,9 +99,13 @@ class DiTConfig:
     attn_impl: str = "auto"
     # attn_impl='sta' knobs: strip tiles of (sta_tile[0] latent frames,
     # sta_tile[1] latent rows, full width); clamped window in tiles.
-    # Tiles must divide (T, Hp) of the geometry (ops/sta.py).
-    sta_tile: tuple = (3, 4)
-    sta_window: tuple = (3, 3)
+    # Tiles must divide (T, Hp) of the geometry (ops/sta.py).  Defaults
+    # measured best on v5e at 512p/21f (scripts/bench_sta.py): tile
+    # (3,8) window (3,2) = 0.74x dense attention time (smaller tiles
+    # are sparser but starve the MXU: (3,4)x(3,3) runs at 88 TF/s vs
+    # 111 here).
+    sta_tile: tuple = (3, 8)
+    sta_window: tuple = (3, 2)
 
     @property
     def head_dim(self) -> int:
@@ -143,8 +147,8 @@ class DiTConfig:
             num_experts=p.get("num_experts", 1),
             moe_top_k=p.get("moe_top_k", 2),
             attn_impl=p.get("attn_impl", "auto"),
-            sta_tile=tuple(p.get("sta_tile", (3, 4))),
-            sta_window=tuple(p.get("sta_window", (3, 3))),
+            sta_tile=tuple(p.get("sta_tile", (3, 8))),
+            sta_window=tuple(p.get("sta_window", (3, 2))),
             dtype={"bf16": "bfloat16", "fp16": "float16", "fp32": "float32"}.get(
                 p.get("dtype", "bf16"), p.get("dtype", "bfloat16")
             ),
@@ -408,6 +412,21 @@ def dit_forward(
         theta=cfg.rope_theta, interleaved=cfg.interleaved_rope,
     )
 
+    # sta: keep the whole layer stack in the tile-major token layout --
+    # one gather here + one inverse after the scan, instead of several
+    # full-sequence gathers per layer inside the attention.  The RoPE
+    # tables are row-permuted to match, which also collapses the
+    # 3-segment apply into a single full-table apply (the per-segment
+    # split is only about which table rows hold which regime).
+    sta_resident = cfg.attn_impl == "sta"
+    if sta_resident:
+        from scail_tpu.ops.sta import sta_order
+
+        _order, _inv = sta_order((T, Hp, Wp), ref_len, pose_len, cfg.sta_tile)
+        hidden = hidden[:, jnp.asarray(_order)]
+        sta_cos = rope.cos[jnp.asarray(_order)]
+        sta_sin = rope.sin[jnp.asarray(_order)]
+
     n_heads = cfg.num_heads
 
     def layer_fn(hidden, lp):
@@ -429,22 +448,27 @@ def dit_forward(
             q = rms_norm(q, lp["q_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
             k = rms_norm(k, lp["k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
         q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
-        q = _apply_scail_rope(q, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
-        k = _apply_scail_rope(k, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
+        if sta_resident:
+            q = _rope_per_head(q, sta_cos, sta_sin, cfg.interleaved_rope)
+            k = _rope_per_head(k, sta_cos, sta_sin, cfg.interleaved_rope)
+        else:
+            q = _apply_scail_rope(q, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
+            k = _apply_scail_rope(k, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
         if cfg.attn_impl == "ulysses" and mesh is not None:
             # sequence-parallel full attention (sat/mpu/ulysses_attn_layer.py)
             from scail_tpu.parallel.ulysses import ulysses_attention
 
             attn = ulysses_attention(q, k, v, mesh, impl="auto")
-        elif cfg.attn_impl == "sta":
+        elif sta_resident:
             # opt-in sliding-tile sparse sampling mode (ops/sta.py);
             # ref+pose streams stay dense, video attends a clamped
-            # (t, h)-strip tile window
+            # (t, h)-strip tile window; tokens are already tile-major
             from scail_tpu.ops.sta import sta_attention
 
             attn = sta_attention(
                 q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
-                pose_len=pose_len, tile=cfg.sta_tile, window=cfg.sta_window)
+                pose_len=pose_len, tile=cfg.sta_tile,
+                window=cfg.sta_window, pre_tiled=True)
         else:
             attn = attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))
@@ -538,6 +562,9 @@ def dit_forward(
             hidden, _ = jax.lax.scan(jax.checkpoint(layer_fn), hidden, tail_p)
     else:
         hidden, _ = jax.lax.scan(body, hidden, layer_params)
+
+    if sta_resident:
+        hidden = hidden[:, jnp.asarray(_inv)]
 
     # ---- final layer (dit:818-835)
     fl = params["final_layer"]

@@ -126,12 +126,28 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad):
     return out
 
 
+def sta_order(grid_thw, ref_len, pose_len, tile):
+    """Static token order for the tile-major-resident layout
+    [video (tile-major) | ref | pose] and its inverse.  The DiT keeps
+    hidden states in this order for the whole layer stack when
+    attn_impl='sta' (one gather per forward instead of several per
+    layer); RoPE tables are row-permuted to match."""
+    T, Hp, Wp = grid_thw
+    perm, glob, _, _ = _strip_layout(T, Hp, Wp, ref_len, pose_len,
+                                     tile[0], tile[1])
+    order = np.concatenate([perm, glob])
+    return order, np.argsort(order)
+
+
 def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
                   pose_len: int, tile: Tuple[int, int] = (3, 4),
-                  window: Tuple[int, int] = (3, 3), scale: float = None):
+                  window: Tuple[int, int] = (3, 3), scale: float = None,
+                  pre_tiled: bool = False):
     """Sliding-tile self attention over the fused [ref | video | pose]
-    sequence.  q/k/v: (b, s, n, d) in the DiT's original token order;
-    grid_thw = (T, Hp, Wp) of the video part.  Returns (b, s, n, d)."""
+    sequence.  q/k/v: (b, s, n, d); grid_thw = (T, Hp, Wp) of the video
+    part.  With pre_tiled=True, q/k/v are already in sta_order's
+    tile-major layout and the output stays in it (no runtime gathers
+    beyond the kv pad)."""
     b, s, n, d = q.shape
     T, Hp, Wp = grid_thw
     sv = T * Hp * Wp
@@ -150,22 +166,31 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
         return t.transpose(0, 2, 1, 3).reshape(b * n, t.shape[1], d)
 
     qf, kf, vf = flat(q), flat(k), flat(v)
-    perm_j, glob_j = jnp.asarray(perm), jnp.asarray(glob)
+    if pre_tiled:
+        qv_f, qg_f = qf[:, :sv], qf[:, sv:]
+        kt, vt = kf, vf
+    else:
+        perm_j, glob_j = jnp.asarray(perm), jnp.asarray(glob)
+        qv_f, qg_f = qf[:, perm_j], qf[:, glob_j]
+        kt = jnp.concatenate([kf[:, perm_j], kf[:, glob_j]], axis=1)
+        vt = jnp.concatenate([vf[:, perm_j], vf[:, glob_j]], axis=1)
 
-    # kv buffer: [video tiles (tile-major) | ref+pose | zero pad]
     def kv_buf(t):
-        parts = [t[:, perm_j], t[:, glob_j]]
-        if pad:
-            parts.append(jnp.zeros((b * n, pad, d), t.dtype))
-        return jnp.concatenate(parts, axis=1)
+        if not pad:
+            return t
+        return jnp.concatenate(
+            [t, jnp.zeros((b * n, pad, d), t.dtype)], axis=1)
 
-    out_v = _sta_video_fwd(qf[:, perm_j], kv_buf(kf), kv_buf(vf),
+    out_v = _sta_video_fwd(qv_f, kv_buf(kt), kv_buf(vt),
                            table, ts, scale, pad)
-    # ref+pose queries stay dense over the whole (original-order) kv
-    out_g = _flash_attention_bnsd(qf[:, glob_j], kf, vf, scale)
+    # ref+pose queries stay dense over the whole kv (softmax is
+    # order-invariant, so the tile-major kv is fine)
+    out_g = _flash_attention_bnsd(qg_f, kt, vt, scale)
 
-    inv = jnp.asarray(np.argsort(np.concatenate([perm, glob])))
-    out = jnp.concatenate([out_v, out_g], axis=1)[:, inv]
+    out = jnp.concatenate([out_v, out_g], axis=1)
+    if not pre_tiled:
+        inv = jnp.asarray(np.argsort(np.concatenate([perm, glob])))
+        out = out[:, inv]
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 

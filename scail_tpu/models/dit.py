@@ -257,15 +257,18 @@ def init_dit_params(key, cfg: DiTConfig):
 # replacing sat/mpu/layers.py Column/RowParallelLinear.
 # ---------------------------------------------------------------------------
 def dit_param_rules() -> PathRules:
+    # the optional (head|tail)_layers segment matches the pre-split
+    # layout used by the save_attn_frac remat policy (split_layer_params)
+    seg = r"layers/(?:(?:head|tail)_layers/)?"
     return PathRules([
-        (r"layers/(qkv|cross_q|cross_kv|clip_kv|mlp_in)/kernel$", P(None, None, MODEL_AXIS)),
-        (r"layers/(qkv|cross_q|cross_kv|clip_kv|mlp_in)/bias$", P(None, MODEL_AXIS)),
-        (r"layers/(attn_out|cross_out|mlp_out)/kernel$", P(None, MODEL_AXIS, None)),
+        (seg + r"(qkv|cross_q|cross_kv|clip_kv|mlp_in)/kernel$", P(None, None, MODEL_AXIS)),
+        (seg + r"(qkv|cross_q|cross_kv|clip_kv|mlp_in)/bias$", P(None, MODEL_AXIS)),
+        (seg + r"(attn_out|cross_out|mlp_out)/kernel$", P(None, MODEL_AXIS, None)),
         # expert parallelism: experts shard over 'model' (EP; the reference
         # instead TP-shards each expert's inner dim — on TPU whole-expert
         # sharding keeps each expert matmul MXU-dense)
-        (r"layers/(moe_in|moe_out)/kernel$", P(None, MODEL_AXIS, None, None)),
-        (r"layers/(moe_in|moe_out)/bias$", P(None, MODEL_AXIS, None)),
+        (seg + r"(moe_in|moe_out)/kernel$", P(None, MODEL_AXIS, None, None)),
+        (seg + r"(moe_in|moe_out)/bias$", P(None, MODEL_AXIS, None)),
     ])
 
 

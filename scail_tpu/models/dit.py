@@ -106,6 +106,10 @@ class DiTConfig:
     # 111 here).
     sta_tile: tuple = (3, 8)
     sta_window: tuple = (3, 2)
+    # also window the half-res pose queries over video (pose tile
+    # (it,ih) covers the same spatial region); ref queries and all
+    # attention INTO ref/pose stay dense
+    sta_windowed_pose: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -149,6 +153,7 @@ class DiTConfig:
             attn_impl=p.get("attn_impl", "auto"),
             sta_tile=tuple(p.get("sta_tile", (3, 8))),
             sta_window=tuple(p.get("sta_window", (3, 2))),
+            sta_windowed_pose=p.get("sta_windowed_pose", True),
             dtype={"bf16": "bfloat16", "fp16": "float16", "fp32": "float32"}.get(
                 p.get("dtype", "bf16"), p.get("dtype", "bfloat16")
             ),
@@ -425,7 +430,8 @@ def dit_forward(
     if sta_resident:
         from scail_tpu.ops.sta import sta_order
 
-        _order, _inv = sta_order((T, Hp, Wp), ref_len, pose_len, cfg.sta_tile)
+        _order, _inv = sta_order((T, Hp, Wp), ref_len, pose_len, cfg.sta_tile,
+                                 windowed_pose=cfg.sta_windowed_pose)
         hidden = hidden[:, jnp.asarray(_order)]
         sta_cos = rope.cos[jnp.asarray(_order)]
         sta_sin = rope.sin[jnp.asarray(_order)]
@@ -471,7 +477,8 @@ def dit_forward(
             attn = sta_attention(
                 q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
                 pose_len=pose_len, tile=cfg.sta_tile,
-                window=cfg.sta_window, pre_tiled=True)
+                window=cfg.sta_window, pre_tiled=True,
+                windowed_pose=cfg.sta_windowed_pose)
         else:
             attn = attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))

@@ -62,6 +62,26 @@ def _strip_layout(T, Hp, Wp, ref_len, pose_len, tile_t, tile_h):
     return perm.astype(np.int32), glob.astype(np.int32), n_t, n_h
 
 
+def _pose_perm(T, Hp, Wp, ref_len, pose_len, tile_t, tile_h):
+    """Tile-major permutation of the half-res pose tokens, spatially
+    aligned with the video strip tiles: pose tile (it, ih) covers the
+    same (t, h) region as video tile (it, ih) at half resolution."""
+    hp, wp = Hp // 2, Wp // 2
+    assert tile_h % 2 == 0, "windowed-pose STA needs an even tile_h"
+    assert pose_len == T * hp * wp, (
+        f"windowed-pose STA expects the SCAIL half-res pose grid "
+        f"T*(Hp/2)*(Wp/2)={T * hp * wp}, got pose_len={pose_len}")
+    pt_h = tile_h // 2
+    n_t, n_h = T // tile_t, Hp // tile_h
+    sv = T * Hp * Wp
+    t, h, w = np.meshgrid(np.arange(T), np.arange(hp), np.arange(wp),
+                          indexing="ij")
+    orig = ref_len + sv + (t * hp + h) * wp + w
+    perm = (orig.reshape(n_t, tile_t, n_h, pt_h, wp)
+            .transpose(0, 2, 1, 3, 4).reshape(-1))
+    return perm.astype(np.int32)
+
+
 def _window_table(n_t, n_h, win_t, win_h, n_global_blocks):
     """(n_tiles, n_steps) int32 kv-block table: clamped (win_t, win_h)
     window of video tiles, then the global blocks (appended after the
@@ -79,12 +99,14 @@ def _window_table(n_t, n_h, win_t, win_h, n_global_blocks):
     return np.asarray(rows, np.int32)
 
 
-def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad):
-    """qv: (B, n_tiles*ts, d) tile-major video queries; kv_k/kv_v:
-    (B, n_blocks*ts, d) = [video tiles | ref+pose (zero-padded)].
-    Output (B, n_tiles*ts, d)."""
+def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None):
+    """qv: (B, n_tiles*ts_q, d) tile-major queries; kv_k/kv_v:
+    (B, n_blocks*ts, d) = [video tiles | conditioning (zero-padded)].
+    ts_q defaults to the kv block size ts (video queries); the windowed
+    pose stream passes its own smaller tile.  Output like qv."""
     B, sq, d = qv.shape
-    nq = sq // ts
+    ts_q = ts if ts_q is None else ts_q
+    nq = sq // ts_q
     n_steps = table.shape[1]
     qv = _prescale(qv, scale)
 
@@ -100,18 +122,19 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad):
         num_scalar_prefetch=1,
         grid=(B, nq, n_steps),
         in_specs=[
-            pl.BlockSpec((1, ts, d), lambda b, qi, ki, tref: (b, qi, 0)),
+            pl.BlockSpec((1, ts_q, d), lambda b, qi, ki, tref: (b, qi, 0)),
             pl.BlockSpec((1, ts, d),
                          lambda b, qi, ki, tref: (b, tref[qi, ki], 0)),
             pl.BlockSpec((1, ts, d),
                          lambda b, qi, ki, tref: (b, tref[qi, ki], 0)),
         ],
-        out_specs=pl.BlockSpec((1, ts, d), lambda b, qi, ki, tref: (b, qi, 0)),
+        out_specs=pl.BlockSpec((1, ts_q, d),
+                               lambda b, qi, ki, tref: (b, qi, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, 1, ts), jnp.float32),
-            pltpu.VMEM((ts, d), jnp.float32),
-            pltpu.VMEM((ts, 128), jnp.float32),
-            pltpu.VMEM((ts, 128), jnp.float32),
+            pltpu.VMEM((1, 1, ts_q), jnp.float32),
+            pltpu.VMEM((ts_q, d), jnp.float32),
+            pltpu.VMEM((ts_q, 128), jnp.float32),
+            pltpu.VMEM((ts_q, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -126,28 +149,38 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad):
     return out
 
 
-def sta_order(grid_thw, ref_len, pose_len, tile):
-    """Static token order for the tile-major-resident layout
-    [video (tile-major) | ref | pose] and its inverse.  The DiT keeps
-    hidden states in this order for the whole layer stack when
+def sta_order(grid_thw, ref_len, pose_len, tile, windowed_pose=False):
+    """Static token order for the tile-major-resident layout and its
+    inverse.  windowed_pose=False: [video (tile-major) | ref | pose];
+    True: [video (tile-major) | pose (tile-major) | ref].  The DiT
+    keeps hidden states in this order for the whole layer stack when
     attn_impl='sta' (one gather per forward instead of several per
     layer); RoPE tables are row-permuted to match."""
     T, Hp, Wp = grid_thw
     perm, glob, _, _ = _strip_layout(T, Hp, Wp, ref_len, pose_len,
                                      tile[0], tile[1])
-    order = np.concatenate([perm, glob])
+    if windowed_pose:
+        pperm = _pose_perm(T, Hp, Wp, ref_len, pose_len, tile[0], tile[1])
+        order = np.concatenate([perm, pperm,
+                                np.arange(ref_len, dtype=np.int32)])
+    else:
+        order = np.concatenate([perm, glob])
     return order, np.argsort(order)
 
 
 def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
                   pose_len: int, tile: Tuple[int, int] = (3, 4),
                   window: Tuple[int, int] = (3, 3), scale: float = None,
-                  pre_tiled: bool = False):
+                  pre_tiled: bool = False, windowed_pose: bool = False):
     """Sliding-tile self attention over the fused [ref | video | pose]
     sequence.  q/k/v: (b, s, n, d); grid_thw = (T, Hp, Wp) of the video
     part.  With pre_tiled=True, q/k/v are already in sta_order's
     tile-major layout and the output stays in it (no runtime gathers
-    beyond the kv pad)."""
+    beyond the kv pad).  windowed_pose=True additionally restricts the
+    half-res POSE queries to the same (t, h) tile window over video
+    (pose tile (it, ih) covers the same spatial region); pose->pose,
+    pose->ref and everyone->pose/ref stay dense, and only the ref
+    queries remain fully dense."""
     b, s, n, d = q.shape
     T, Hp, Wp = grid_thw
     sv = T * Hp * Wp
@@ -161,19 +194,18 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
     pad = (-s_glob) % ts
     n_gb = (s_glob + pad) // ts
     table = _window_table(n_t, n_h, window[0], window[1], n_gb)
+    order, _ = sta_order(grid_thw, ref_len, pose_len, tile,
+                         windowed_pose=windowed_pose)
 
     def flat(t):  # (b, s, n, d) -> (B, s, d)
         return t.transpose(0, 2, 1, 3).reshape(b * n, t.shape[1], d)
 
     qf, kf, vf = flat(q), flat(k), flat(v)
     if pre_tiled:
-        qv_f, qg_f = qf[:, :sv], qf[:, sv:]
-        kt, vt = kf, vf
+        qt, kt, vt = qf, kf, vf
     else:
-        perm_j, glob_j = jnp.asarray(perm), jnp.asarray(glob)
-        qv_f, qg_f = qf[:, perm_j], qf[:, glob_j]
-        kt = jnp.concatenate([kf[:, perm_j], kf[:, glob_j]], axis=1)
-        vt = jnp.concatenate([vf[:, perm_j], vf[:, glob_j]], axis=1)
+        order_j = jnp.asarray(order)
+        qt, kt, vt = qf[:, order_j], kf[:, order_j], vf[:, order_j]
 
     def kv_buf(t):
         if not pad:
@@ -181,20 +213,26 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
         return jnp.concatenate(
             [t, jnp.zeros((b * n, pad, d), t.dtype)], axis=1)
 
-    out_v = _sta_video_fwd(qv_f, kv_buf(kt), kv_buf(vt),
-                           table, ts, scale, pad)
-    # ref+pose queries stay dense over the whole kv (softmax is
-    # order-invariant, so the tile-major kv is fine)
-    out_g = _flash_attention_bnsd(qg_f, kt, vt, scale)
-
-    out = jnp.concatenate([out_v, out_g], axis=1)
+    kp, vp = kv_buf(kt), kv_buf(vt)
+    out_v = _sta_video_fwd(qt[:, :sv], kp, vp, table, ts, scale, pad)
+    if windowed_pose:
+        ts_p = ts // 4  # same tile at half spatial resolution
+        out_p = _sta_video_fwd(qt[:, sv:sv + pose_len], kp, vp, table,
+                               ts, scale, pad, ts_q=ts_p)
+        # ref queries stay dense over the whole kv (softmax is
+        # order-invariant, so the tile-major kv is fine)
+        out_g = _flash_attention_bnsd(qt[:, sv + pose_len:], kt, vt, scale)
+        out = jnp.concatenate([out_v, out_p, out_g], axis=1)
+    else:
+        out_g = _flash_attention_bnsd(qt[:, sv:], kt, vt, scale)
+        out = jnp.concatenate([out_v, out_g], axis=1)
     if not pre_tiled:
-        inv = jnp.asarray(np.argsort(np.concatenate([perm, glob])))
-        out = out[:, inv]
+        out = out[:, jnp.asarray(np.argsort(order))]
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 
-def sta_block_mask(s, grid_thw, ref_len, pose_len, tile, window):
+def sta_block_mask(s, grid_thw, ref_len, pose_len, tile, window,
+                   windowed_pose=False):
     """Dense (s, s) boolean mask equivalent to sta_attention's sparsity
     (True = attended) -- the test oracle and the documentation of the
     exact semantics."""
@@ -203,17 +241,28 @@ def sta_block_mask(s, grid_thw, ref_len, pose_len, tile, window):
                                          tile[0], tile[1])
     ts = tile[0] * tile[1] * Wp
     mask = np.zeros((s, s), bool)
-    mask[glob[:, None], np.arange(s)[None]] = True   # global q: dense
-    mask[:, glob] = True                             # everyone sees global
+    mask[glob[:, None], np.arange(s)[None]] = True   # cond q: dense
+    mask[:, glob] = True                             # everyone sees cond
     wt, wh = min(window[0], n_t), min(window[1], n_h)
     tiles = perm.reshape(n_t * n_h, ts)
+    if windowed_pose:
+        ptiles = _pose_perm(T, Hp, Wp, ref_len, pose_len,
+                            tile[0], tile[1]).reshape(n_t * n_h, ts // 4)
+        # pose queries lose dense video access; keep only their window
+        pose_idx = np.arange(ref_len + T * Hp * Wp, s)
+        vid_idx = perm.reshape(-1)
+        mask[np.ix_(pose_idx, vid_idx)] = False
     for it in range(n_t):
         t0 = min(max(it - wt // 2, 0), n_t - wt)
         for ih in range(n_h):
             h0 = min(max(ih - wh // 2, 0), n_h - wh)
             qi = tiles[it * n_h + ih]
+            qsets = [qi]
+            if windowed_pose:
+                qsets.append(ptiles[it * n_h + ih])
             for dt in range(wt):
                 for dh in range(wh):
                     kj = tiles[(t0 + dt) * n_h + (h0 + dh)]
-                    mask[qi[:, None], kj[None, :]] = True
+                    for qs in qsets:
+                        mask[qs[:, None], kj[None, :]] = True
     return mask

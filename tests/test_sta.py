@@ -69,3 +69,48 @@ def test_sta_mask_structure():
     sub = mask[np.ix_(vid, vid)]
     assert not sub.all() and sub.any()   # genuinely sparse video block
     assert np.diag(sub).all()            # every video token sees itself
+
+
+# windowed-pose variant needs the real SCAIL pose geometry
+POSE_W = T * (HP // 2) * (WP // 2)
+S_W = REF + T * HP * WP + POSE_W
+
+
+@pytest.mark.parametrize("window", [(1, 1), (2, 2)])
+def test_sta_windowed_pose_matches_masked_dense(window):
+    rng = np.random.default_rng(7)
+    shp = (2, S_W, 2, 128)
+    q, k, v = [jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3)]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    with pltpu.force_tpu_interpret_mode():
+        got = sta_attention(q, k, v, grid_thw=(T, HP, WP), ref_len=REF,
+                            pose_len=POSE_W, tile=(2, 2), window=window,
+                            windowed_pose=True)
+    mask = sta_block_mask(S_W, (T, HP, WP), REF, POSE_W, (2, 2), window,
+                          windowed_pose=True)
+    want = _masked_dense(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    if window == (2, 2):
+        # full window: windowed-pose == dense attention exactly
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        dense = jnp.einsum("bnqk,bknd->bqnd",
+                           jax.nn.softmax(logits, axis=-1), v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_sta_windowed_pose_restricts_pose_queries():
+    m_dense_pose = sta_block_mask(S_W, (T, HP, WP), REF, POSE_W, (2, 2),
+                                  (1, 1), windowed_pose=False)
+    m_win_pose = sta_block_mask(S_W, (T, HP, WP), REF, POSE_W, (2, 2),
+                                (1, 1), windowed_pose=True)
+    pose = np.arange(S_W - POSE_W, S_W)
+    vid = np.arange(REF, REF + T * HP * WP)
+    assert m_dense_pose[np.ix_(pose, vid)].all()
+    sub = m_win_pose[np.ix_(pose, vid)]
+    assert sub.any() and not sub.all()
+    # everyone still sees pose and ref; ref queries stay dense
+    assert m_win_pose[:, pose].all() and m_win_pose[:REF].all()

@@ -108,8 +108,12 @@ class DiTConfig:
     sta_window: tuple = (3, 2)
     # also window the half-res pose queries over video (pose tile
     # (it,ih) covers the same spatial region); ref queries and all
-    # attention INTO ref/pose stay dense
+    # attention INTO ref stay dense
     sta_windowed_pose: bool = True
+    # temporal window (in t-strips) for attention INTO the pose region
+    # (0 = dense pose kv); pose conditioning is spatially local, so
+    # distant-frame pose tokens carry no signal for a video token
+    sta_pose_kv_window: int = 3
 
     @property
     def head_dim(self) -> int:
@@ -154,6 +158,7 @@ class DiTConfig:
             sta_tile=tuple(p.get("sta_tile", (3, 8))),
             sta_window=tuple(p.get("sta_window", (3, 2))),
             sta_windowed_pose=p.get("sta_windowed_pose", True),
+            sta_pose_kv_window=p.get("sta_pose_kv_window", 3),
             dtype={"bf16": "bfloat16", "fp16": "float16", "fp32": "float32"}.get(
                 p.get("dtype", "bf16"), p.get("dtype", "bfloat16")
             ),
@@ -478,7 +483,8 @@ def dit_forward(
                 q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
                 pose_len=pose_len, tile=cfg.sta_tile,
                 window=cfg.sta_window, pre_tiled=True,
-                windowed_pose=cfg.sta_windowed_pose)
+                windowed_pose=cfg.sta_windowed_pose,
+                pose_kv_window=cfg.sta_pose_kv_window)
         else:
             attn = attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))

@@ -82,19 +82,34 @@ def _pose_perm(T, Hp, Wp, ref_len, pose_len, tile_t, tile_h):
     return perm.astype(np.int32)
 
 
-def _window_table(n_t, n_h, win_t, win_h, n_global_blocks):
-    """(n_tiles, n_steps) int32 kv-block table: clamped (win_t, win_h)
-    window of video tiles, then the global blocks (appended after the
-    video tiles in the kv buffer)."""
+def _window_table(n_t, n_h, win_t, win_h, n_pose_blocks, n_ref_blocks,
+                  pose_kv_win_t=0):
+    """(n_tiles, n_steps) int32 kv-block table shared by the video and
+    (windowed-pose mode) pose query tiles: a clamped (win_t, win_h)
+    window of video tiles, then the conditioning blocks.  With
+    pose_kv_win_t > 0 the pose region (laid out per t-strip) is itself
+    temporally windowed: only the pose blocks of the pose_kv_win_t
+    t-strips around the query's strip are visited; ref blocks are
+    always all visited (they carry the zero pad, so the pad correction
+    stays exact for every row)."""
     wt, wh = min(win_t, n_t), min(win_h, n_h)
+    n_v = n_t * n_h
+    bps = n_pose_blocks // n_t if pose_kv_win_t else 0   # blocks per strip
+    pw = min(pose_kv_win_t, n_t) if pose_kv_win_t else 0
     rows = []
     for it in range(n_t):
         t0 = min(max(it - wt // 2, 0), n_t - wt)
+        p0 = min(max(it - pw // 2, 0), n_t - pw) if pw else 0
         for ih in range(n_h):
             h0 = min(max(ih - wh // 2, 0), n_h - wh)
             row = [(t0 + dt) * n_h + (h0 + dh)
                    for dt in range(wt) for dh in range(wh)]
-            row += [n_t * n_h + g for g in range(n_global_blocks)]
+            if pw:
+                row += [n_v + (p0 + dt) * bps + g
+                        for dt in range(pw) for g in range(bps)]
+            else:
+                row += [n_v + g for g in range(n_pose_blocks)]
+            row += [n_v + n_pose_blocks + g for g in range(n_ref_blocks)]
             rows.append(row)
     return np.asarray(rows, np.int32)
 
@@ -171,16 +186,19 @@ def sta_order(grid_thw, ref_len, pose_len, tile, windowed_pose=False):
 def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
                   pose_len: int, tile: Tuple[int, int] = (3, 4),
                   window: Tuple[int, int] = (3, 3), scale: float = None,
-                  pre_tiled: bool = False, windowed_pose: bool = False):
+                  pre_tiled: bool = False, windowed_pose: bool = False,
+                  pose_kv_window: int = 0):
     """Sliding-tile self attention over the fused [ref | video | pose]
     sequence.  q/k/v: (b, s, n, d); grid_thw = (T, Hp, Wp) of the video
     part.  With pre_tiled=True, q/k/v are already in sta_order's
     tile-major layout and the output stays in it (no runtime gathers
     beyond the kv pad).  windowed_pose=True additionally restricts the
     half-res POSE queries to the same (t, h) tile window over video
-    (pose tile (it, ih) covers the same spatial region); pose->pose,
-    pose->ref and everyone->pose/ref stay dense, and only the ref
-    queries remain fully dense."""
+    (pose tile (it, ih) covers the same spatial region).
+    pose_kv_window=w (needs windowed_pose and n_h % 4 == 0) further
+    restricts attention INTO the pose region to the w t-strips around
+    the query's strip for video and pose queries; ref tokens stay
+    dense both ways, and ref queries stay fully dense."""
     b, s, n, d = q.shape
     T, Hp, Wp = grid_thw
     sv = T * Hp * Wp
@@ -190,10 +208,19 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
     perm, glob, n_t, n_h = _strip_layout(T, Hp, Wp, ref_len, pose_len,
                                          tile[0], tile[1])
     ts = tile[0] * tile[1] * Wp
-    s_glob = glob.size
-    pad = (-s_glob) % ts
-    n_gb = (s_glob + pad) // ts
-    table = _window_table(n_t, n_h, window[0], window[1], n_gb)
+    if windowed_pose and pose_kv_window and n_h % 4 == 0:
+        # pose region is exactly n_t * (n_h/4) blocks of ts; only the
+        # ref tail carries zero pad, which every table row visits
+        n_pb = pose_len // ts
+        pad = (-ref_len) % ts
+        n_rb = (ref_len + pad) // ts
+        table = _window_table(n_t, n_h, window[0], window[1], n_pb, n_rb,
+                              pose_kv_window)
+    else:
+        s_glob = ref_len + pose_len
+        pad = (-s_glob) % ts
+        table = _window_table(n_t, n_h, window[0], window[1], 0,
+                              (s_glob + pad) // ts, 0)
     order, _ = sta_order(grid_thw, ref_len, pose_len, tile,
                          windowed_pose=windowed_pose)
 
@@ -216,9 +243,8 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
     kp, vp = kv_buf(kt), kv_buf(vt)
     out_v = _sta_video_fwd(qt[:, :sv], kp, vp, table, ts, scale, pad)
     if windowed_pose:
-        ts_p = ts // 4  # same tile at half spatial resolution
         out_p = _sta_video_fwd(qt[:, sv:sv + pose_len], kp, vp, table,
-                               ts, scale, pad, ts_q=ts_p)
+                               ts, scale, pad, ts_q=ts // 4)
         # ref queries stay dense over the whole kv (softmax is
         # order-invariant, so the tile-major kv is fine)
         out_g = _flash_attention_bnsd(qt[:, sv + pose_len:], kt, vt, scale)
@@ -232,7 +258,7 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
 
 
 def sta_block_mask(s, grid_thw, ref_len, pose_len, tile, window,
-                   windowed_pose=False):
+                   windowed_pose=False, pose_kv_window=0):
     """Dense (s, s) boolean mask equivalent to sta_attention's sparsity
     (True = attended) -- the test oracle and the documentation of the
     exact semantics."""
@@ -240,29 +266,41 @@ def sta_block_mask(s, grid_thw, ref_len, pose_len, tile, window,
     perm, glob, n_t, n_h = _strip_layout(T, Hp, Wp, ref_len, pose_len,
                                          tile[0], tile[1])
     ts = tile[0] * tile[1] * Wp
+    sv = T * Hp * Wp
     mask = np.zeros((s, s), bool)
     mask[glob[:, None], np.arange(s)[None]] = True   # cond q: dense
     mask[:, glob] = True                             # everyone sees cond
     wt, wh = min(window[0], n_t), min(window[1], n_h)
     tiles = perm.reshape(n_t * n_h, ts)
+    pose_strips = None
     if windowed_pose:
         ptiles = _pose_perm(T, Hp, Wp, ref_len, pose_len,
                             tile[0], tile[1]).reshape(n_t * n_h, ts // 4)
-        # pose queries lose dense video access; keep only their window
-        pose_idx = np.arange(ref_len + T * Hp * Wp, s)
+        pose_idx = np.arange(ref_len + sv, s)
         vid_idx = perm.reshape(-1)
+        # pose queries lose dense video access; keep only their window
         mask[np.ix_(pose_idx, vid_idx)] = False
+        if pose_kv_window and n_h % 4 == 0:
+            # video+pose queries lose dense pose access too
+            pose_strips = ptiles.reshape(n_t, n_h * ts // 4)
+            vp_idx = np.concatenate([vid_idx, pose_idx])
+            mask[np.ix_(vp_idx, pose_idx)] = False
+    pw = min(pose_kv_window, n_t) if pose_strips is not None else 0
     for it in range(n_t):
         t0 = min(max(it - wt // 2, 0), n_t - wt)
+        p0 = min(max(it - pw // 2, 0), n_t - pw) if pw else 0
         for ih in range(n_h):
             h0 = min(max(ih - wh // 2, 0), n_h - wh)
-            qi = tiles[it * n_h + ih]
-            qsets = [qi]
+            qsets = [tiles[it * n_h + ih]]
             if windowed_pose:
                 qsets.append(ptiles[it * n_h + ih])
-            for dt in range(wt):
-                for dh in range(wh):
-                    kj = tiles[(t0 + dt) * n_h + (h0 + dh)]
-                    for qs in qsets:
+            for qs in qsets:
+                for dt in range(wt):
+                    for dh in range(wh):
+                        kj = tiles[(t0 + dt) * n_h + (h0 + dh)]
+                        mask[qs[:, None], kj[None, :]] = True
+                if pw:
+                    for dt in range(pw):
+                        kj = pose_strips[p0 + dt]
                         mask[qs[:, None], kj[None, :]] = True
     return mask

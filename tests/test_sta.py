@@ -114,3 +114,48 @@ def test_sta_windowed_pose_restricts_pose_queries():
     assert sub.any() and not sub.all()
     # everyone still sees pose and ref; ref queries stay dense
     assert m_win_pose[:, pose].all() and m_win_pose[:REF].all()
+
+
+# pose-kv windowing needs n_h % 4 == 0: use HP=8 with tile_h=2
+T2, HP2, WP2 = 4, 8, 8
+POSE2 = T2 * (HP2 // 2) * (WP2 // 2)
+S2 = REF + T2 * HP2 * WP2 + POSE2
+
+
+@pytest.mark.parametrize("pkw,window", [(1, (2, 2)), (4, (2, 4))])
+def test_sta_pose_kv_window_matches_masked_dense(pkw, window):
+    rng = np.random.default_rng(9)
+    shp = (1, S2, 2, 128)
+    q, k, v = [jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3)]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    kw = dict(grid_thw=(T2, HP2, WP2), ref_len=REF, pose_len=POSE2,
+              tile=(2, 2), window=window, windowed_pose=True,
+              pose_kv_window=pkw)
+    with pltpu.force_tpu_interpret_mode():
+        got = sta_attention(q, k, v, **kw)
+    mask = sta_block_mask(S2, (T2, HP2, WP2), REF, POSE2, (2, 2), window,
+                          windowed_pose=True, pose_kv_window=pkw)
+    want = _masked_dense(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    if pkw == 4:
+        # windows cover every tile and strip: STA == dense
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        dense = jnp.einsum("bnqk,bknd->bqnd",
+                           jax.nn.softmax(logits, axis=-1), v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_sta_pose_kv_window_mask_structure():
+    m = sta_block_mask(S2, (T2, HP2, WP2), REF, POSE2, (2, 2), (1, 1),
+                       windowed_pose=True, pose_kv_window=1)
+    pose = np.arange(S2 - POSE2, S2)
+    vid = np.arange(REF, REF + T2 * HP2 * WP2)
+    sub = m[np.ix_(vid, pose)]
+    assert sub.any() and not sub.all()   # video->pose now restricted
+    assert m[:, :REF].all()              # ref stays visible to everyone
+    assert m[:REF].all()                 # ref queries dense
+    assert np.diag(m).all()              # self-attention intact

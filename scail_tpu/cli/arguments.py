@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a jax platform (cpu = smoke runs on boxes "
                         "whose accelerator cannot fit the model)")
+    p.add_argument("--attn-impl", dest="attn_impl", default=None,
+                   choices=[None, "auto", "xla", "chunked", "pallas",
+                            "pallas_int8", "ulysses", "sta"],
+                   help="override the DiT self-attention impl from the "
+                        "YAML ('sta' = sliding-tile turbo sampling)")
     return p
 
 
@@ -92,4 +97,8 @@ def get_args(argv=None):
         sc = dict(model_cfg.get("sampler_config", {}))
         sc["params"] = dict(sc.get("params", {}), num_steps=cli.sampling_steps)
         model_cfg["sampler_config"] = sc
+    if cli.attn_impl is not None:
+        nc = dict(model_cfg.get("network_config", {}))
+        nc["params"] = dict(nc.get("params", {}), attn_impl=cli.attn_impl)
+        model_cfg["network_config"] = nc
     return args, model_cfg

@@ -48,11 +48,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--cfg-batch", type=int, default=2)
+    ap.add_argument("--attn", default="pallas", choices=["pallas", "sta"])
     args = ap.parse_args()
 
     from scail_tpu.models.dit import DiTConfig, dit_forward
 
-    cfg = DiTConfig(dtype="bfloat16", attn_impl="pallas")  # 14B defaults
+    cfg = DiTConfig(dtype="bfloat16", attn_impl=args.attn)  # 14B defaults
     h, inner, L = cfg.hidden_size, cfg.inner_hidden_size, cfg.num_layers
     mk = _rand_int4_dense if args.bits == 4 else _rand_int8_dense
     keys = iter(jax.random.split(jax.random.PRNGKey(0), 32))

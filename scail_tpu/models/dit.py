@@ -501,8 +501,12 @@ def dit_forward(
             ck = rms_norm(ck, lp["cross_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
         cqh = _split_heads(cq, n_heads)
         # cross attention has short replicated KV: plain SPMD attention even
-        # under Ulysses (the reference also keeps cross-attn un-Ulyssed)
-        cross_impl = "auto" if cfg.attn_impl == "ulysses" else cfg.attn_impl
+        # under Ulysses (the reference also keeps cross-attn un-Ulyssed);
+        # same under STA -- 'sta' is a SELF-attention impl, and letting it
+        # fall through here picked the XLA reference path with a
+        # materialized f32 logit tensor (3.7GB at 14B)
+        cross_impl = ("auto" if cfg.attn_impl in ("ulysses", "sta")
+                      else cfg.attn_impl)
         if cfg.use_i2v_clip:
             # text and CLIP streams share q and their results are summed
             # (dit:1159-1197) -- fused into one kernel on TPU

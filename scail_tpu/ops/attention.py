@@ -128,9 +128,13 @@ def _prescale(q, scale):
     return (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
+def _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
     """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed.
-    Returns (out (B, sq, d), lse (B, sq) fp32)."""
+    Returns (out (B, sq, d), lse (B, sq) fp32).  n_zero_cols: count of
+    EXPLICIT zero kv columns already at the tail of k/v (callers that
+    pass pre-padded buffers, e.g. the STA conditioning tail) -- they
+    contribute exp2(-m) each exactly like the internal block padding,
+    so one finalize correction cancels both."""
     B, sq, d = q.shape
     skv = k.shape[1]
     q = _prescale(q, scale)
@@ -144,7 +148,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
     nq = q.shape[1] // block_q
     nk = k.shape[1] // block_k
 
-    kernel = functools.partial(_flash_kernel, n_pad=pk)
+    kernel = functools.partial(_flash_kernel, n_pad=pk + n_zero_cols)
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, nq, nk),
@@ -324,16 +328,17 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
     return dq[:, :sq], dk[:, :skv], dv[:, :skv]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024):
-    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_bnsd(q, k, v, scale, block_q=1024, block_k=1024,
+                          n_zero_cols=0):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols)
     return out
 
 
-def _flash_vjp_fwd(q, k, v, scale, block_q, block_k):
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
     from jax.ad_checkpoint import checkpoint_name
 
-    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols)
     # Name the kernel outputs so a rematerialization policy can SAVE them:
     # with save_only_these_names('flash_out','flash_lse') on the layer
     # checkpoint, the remat recompute no longer re-runs the flash forward
@@ -344,7 +349,10 @@ def _flash_vjp_fwd(q, k, v, scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
-def _flash_vjp_bwd(scale, block_q, block_k, res, do):
+def _flash_vjp_bwd(scale, block_q, block_k, n_zero_cols, res, do):
+    # explicit zero kv columns produce exact zero dq contributions and
+    # garbage-free dk/dv (k=v=0 -> p*(dp-delta) finite, dv/dk land in
+    # the caller-discarded pad region)
     q, k, v, o, lse = res
     return _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k)
 

@@ -242,15 +242,21 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
 
     kp, vp = kv_buf(kt), kv_buf(vt)
     out_v = _sta_video_fwd(qt[:, :sv], kp, vp, table, ts, scale, pad)
+    # the dense conditioning queries consume the SAME padded kv buffers
+    # (n_zero_cols corrects the explicit zero tail exactly) so kt/vt die
+    # right after the pad concat -- at 14B the duplicate kv lifetimes
+    # were the difference between fitting one chip and OOM
     if windowed_pose:
         out_p = _sta_video_fwd(qt[:, sv:sv + pose_len], kp, vp, table,
                                ts, scale, pad, ts_q=ts // 4)
         # ref queries stay dense over the whole kv (softmax is
         # order-invariant, so the tile-major kv is fine)
-        out_g = _flash_attention_bnsd(qt[:, sv + pose_len:], kt, vt, scale)
+        out_g = _flash_attention_bnsd(qt[:, sv + pose_len:], kp, vp, scale,
+                                      1024, 1024, pad)
         out = jnp.concatenate([out_v, out_p, out_g], axis=1)
     else:
-        out_g = _flash_attention_bnsd(qt[:, sv:], kt, vt, scale)
+        out_g = _flash_attention_bnsd(qt[:, sv:], kp, vp, scale,
+                                      1024, 1024, pad)
         out = jnp.concatenate([out_v, out_g], axis=1)
     if not pre_tiled:
         out = out[:, jnp.asarray(np.argsort(order))]

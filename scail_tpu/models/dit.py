@@ -479,12 +479,26 @@ def dit_forward(
             # (t, h)-strip tile window; tokens are already tile-major
             from scail_tpu.ops.sta import sta_attention
 
-            attn = sta_attention(
-                q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
-                pose_len=pose_len, tile=cfg.sta_tile,
-                window=cfg.sta_window, pre_tiled=True,
-                windowed_pose=cfg.sta_windowed_pose,
-                pose_kv_window=cfg.sta_pose_kv_window)
+            def _sta(q, k, v):
+                return sta_attention(
+                    q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
+                    pose_len=pose_len, tile=cfg.sta_tile,
+                    window=cfg.sta_window, pre_tiled=True,
+                    windowed_pose=cfg.sta_windowed_pose,
+                    pose_kv_window=cfg.sta_pose_kv_window)
+
+            if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+                # TP composition: heads are embarrassingly parallel in
+                # the kernel, so run per-shard over the model axis (the
+                # SPMD partitioner cannot split a bare pallas_call)
+                from jax.experimental.shard_map import shard_map
+
+                spec = P(None, None, MODEL_AXIS, None)
+                attn = shard_map(
+                    _sta, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec, check_rep=False)(q, k, v)
+            else:
+                attn = _sta(q, k, v)
         else:
             attn = attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))
@@ -505,7 +519,8 @@ def dit_forward(
         # same under STA -- 'sta' is a SELF-attention impl, and letting it
         # fall through here picked the XLA reference path with a
         # materialized f32 logit tensor (3.7GB at 14B)
-        cross_impl = ("auto" if cfg.attn_impl in ("ulysses", "sta")
+        cross_impl = ("auto" if cfg.attn_impl in ("ulysses", "sta",
+                                                  "pallas_int8")
                       else cfg.attn_impl)
         if cfg.use_i2v_clip:
             # text and CLIP streams share q and their results are summed

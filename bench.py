@@ -121,6 +121,10 @@ def main():
             "achieved_tflops": round(tflops, 1),
             "mfu_vs_peak": round(mfu, 4),
             "derived_sec_per_clip_50step": round(step_ms * 50 / 1000.0, 2),
+            # full pipeline measurements from scripts/bench_e2e.py on this
+            # chip (r2): 50-step sampling + streamed VAE decode at 512p
+            "measured_e2e_sec_per_clip_dense": 397.1,
+            "measured_e2e_sec_per_clip_sta": 267.5,
             "device": str(dev),
         },
     }))

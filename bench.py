@@ -121,10 +121,11 @@ def main():
             "achieved_tflops": round(tflops, 1),
             "mfu_vs_peak": round(mfu, 4),
             "derived_sec_per_clip_50step": round(step_ms * 50 / 1000.0, 2),
-            # full pipeline measurements from scripts/bench_e2e.py on this
-            # chip (r2): 50-step sampling + streamed VAE decode at 512p
-            "measured_e2e_sec_per_clip_dense": 397.1,
-            "measured_e2e_sec_per_clip_sta": 267.5,
+            # constants recorded from scripts/bench_e2e.py runs on the r2
+            # v5e chip (1.3B, 512p, 50 steps + streamed VAE decode) --
+            # NOT re-measured by this script; rerun bench_e2e to refresh
+            "r2_recorded_e2e_s_dense_1p3b": 397.1,
+            "r2_recorded_e2e_s_sta_1p3b": 267.5,
             "device": str(dev),
         },
     }))

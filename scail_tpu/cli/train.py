@@ -101,6 +101,9 @@ def main(argv=None):
         from scail_tpu.models.dit import save_attn_head_layers, split_layer_params
 
         params = split_layer_params(params, dcfg)
+        # drop the engine's reference to the stacked stack, or both
+        # layouts stay live in HBM through optimizer-state init
+        engine.params["dit"] = params
         print_rank0("save_attn_frac remat: layer stack pre-split "
                     f"({save_attn_head_layers(dcfg)} head layers)")
 
@@ -113,7 +116,8 @@ def main(argv=None):
         train_iters=args.train_iters, lr=args.lr, warmup_iters=args.warmup_iters,
         grad_accum=args.grad_accum, save_dir=args.save, seed=args.seed,
     )
-    trainer = Trainer(params, loss_fn, tconf, model_config=dict(model_cfg))
+    trainer = Trainer(params, loss_fn, tconf, model_config=dict(model_cfg),
+                      train_mask=lora_mask_tree)
     if args.resume:
         trainer.resume()
 

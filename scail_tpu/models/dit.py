@@ -155,6 +155,9 @@ class DiTConfig:
             num_experts=p.get("num_experts", 1),
             moe_top_k=p.get("moe_top_k", 2),
             attn_impl=p.get("attn_impl", "auto"),
+            remat=p.get("remat", False),
+            remat_policy=p.get("remat_policy", "default"),
+            remat_save_frac=p.get("remat_save_frac", 0.7),
             sta_tile=tuple(p.get("sta_tile", (3, 8))),
             sta_window=tuple(p.get("sta_window", (3, 2))),
             sta_windowed_pose=p.get("sta_windowed_pose", True),
@@ -432,11 +435,19 @@ def dit_forward(
     # 3-segment apply into a single full-table apply (the per-segment
     # split is only about which table rows hold which regime).
     sta_resident = cfg.attn_impl == "sta"
+    sta_windowed_pose = cfg.sta_windowed_pose
+    if sta_resident and sta_windowed_pose and (
+            Wp % 2 or cfg.sta_tile[1] % 2
+            or (cfg.sta_tile[0] * cfg.sta_tile[1] * Wp) % 4):
+        print(f"[sta] windowed pose disabled: needs even Wp/tile_h and a "
+              f"4-divisible tile (Wp={Wp}, tile={cfg.sta_tile}); pose "
+              f"queries stay dense")
+        sta_windowed_pose = False
     if sta_resident:
         from scail_tpu.ops.sta import sta_order
 
         _order, _inv = sta_order((T, Hp, Wp), ref_len, pose_len, cfg.sta_tile,
-                                 windowed_pose=cfg.sta_windowed_pose)
+                                 windowed_pose=sta_windowed_pose)
         hidden = hidden[:, jnp.asarray(_order)]
         sta_cos = rope.cos[jnp.asarray(_order)]
         sta_sin = rope.sin[jnp.asarray(_order)]
@@ -484,7 +495,7 @@ def dit_forward(
                     q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
                     pose_len=pose_len, tile=cfg.sta_tile,
                     window=cfg.sta_window, pre_tiled=True,
-                    windowed_pose=cfg.sta_windowed_pose,
+                    windowed_pose=sta_windowed_pose,
                     pose_kv_window=cfg.sta_pose_kv_window)
 
             if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:

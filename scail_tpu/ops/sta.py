@@ -68,6 +68,9 @@ def _pose_perm(T, Hp, Wp, ref_len, pose_len, tile_t, tile_h):
     same (t, h) region as video tile (it, ih) at half resolution."""
     hp, wp = Hp // 2, Wp // 2
     assert tile_h % 2 == 0, "windowed-pose STA needs an even tile_h"
+    assert Wp % 2 == 0 and (tile_t * tile_h * Wp) % 4 == 0, (
+        f"windowed-pose STA needs Wp even and a 4-divisible video tile "
+        f"(pose q tile = ts//4), got Wp={Wp} tile=({tile_t},{tile_h})")
     assert pose_len == T * hp * wp, (
         f"windowed-pose STA expects the SCAIL half-res pose grid "
         f"T*(Hp/2)*(Wp/2)={T * hp * wp}, got pose_len={pose_len}")
@@ -208,6 +211,11 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
     perm, glob, n_t, n_h = _strip_layout(T, Hp, Wp, ref_len, pose_len,
                                          tile[0], tile[1])
     ts = tile[0] * tile[1] * Wp
+    if windowed_pose and pose_kv_window and n_h % 4 != 0:
+        # visible at trace time: the pose region only tiles into uniform
+        # ts-blocks per t-strip when n_h % 4 == 0
+        print(f"[sta] pose_kv_window={pose_kv_window} ignored: needs "
+              f"n_h % 4 == 0 (Hp/tile_h = {n_h}); pose kv stays dense")
     if windowed_pose and pose_kv_window and n_h % 4 == 0:
         # pose region is exactly n_t * (n_h/4) blocks of ts; only the
         # ref tail carries zero pad, which every table row visits

@@ -75,10 +75,14 @@ def fused_ema_adam(
 
         out = jax.tree.map(upd, grads, state.exp_avg, state.exp_avg_sq, params,
                            state.shadow)
-        updates = jax.tree.map(lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple))
-        m = jax.tree.map(lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple))
-        v = jax.tree.map(lambda o: o[2], out, is_leaf=lambda x: isinstance(x, tuple))
-        s = jax.tree.map(lambda o: o[3], out, is_leaf=lambda x: isinstance(x, tuple))
+        # match exactly the plain 4-tuples from upd: NamedTuple pytree
+        # nodes (e.g. optax.MaskedNode under multi_transform) must stay
+        # traversable
+        is_upd = lambda x: type(x) is tuple
+        updates = jax.tree.map(lambda o: o[0], out, is_leaf=is_upd)
+        m = jax.tree.map(lambda o: o[1], out, is_leaf=is_upd)
+        v = jax.tree.map(lambda o: o[2], out, is_leaf=is_upd)
+        s = jax.tree.map(lambda o: o[3], out, is_leaf=is_upd)
         return updates, EmaAdamState(count=count, exp_avg=m, exp_avg_sq=v, shadow=s)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -61,7 +61,8 @@ class Trainer:
     loss_fn(params, key, batch) -> scalar (mean over batch)."""
 
     def __init__(self, params, loss_fn: Callable, config: TrainConfig,
-                 model_config: Optional[Dict] = None, param_shardings=None):
+                 model_config: Optional[Dict] = None, param_shardings=None,
+                 train_mask=None):
         self.config = config
         self.model_config = model_config
         self.schedule = annealing_lr(
@@ -73,6 +74,13 @@ class Trainer:
             fused_ema_adam(self.schedule, weight_decay=config.weight_decay,
                            ema_decay=config.ema_decay),
         )
+        if train_mask is not None:
+            # selective finetuning (LoRA/prefix/adapters): frozen leaves
+            # get zero updates and no optimizer state
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "freeze": optax.set_to_zero()},
+                param_labels=jax.tree.map(
+                    lambda m: "train" if m else "freeze", train_mask))
         self.state = {
             "params": params,
             "opt_state": self.tx.init(params),

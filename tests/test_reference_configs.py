@@ -54,3 +54,19 @@ def test_reference_14b_config_parses():
     assert dit.hidden_size == 5120 and dit.num_layers == 40
     assert dit.inner_hidden_size == 13824 and dit.num_heads == 40
     assert dit.in_channels == 20 and dit.out_channels == 16
+
+
+def test_network_config_maps_remat_and_sta_keys():
+    """YAML-level remat/sta knobs reach DiTConfig (a silently-dropped
+    remat_policy key would disable the documented save_attn_frac path)."""
+    from scail_tpu.models.dit import DiTConfig
+
+    cfg = DiTConfig.from_network_config(dict(
+        hidden_size=32, num_layers=2, num_attention_heads=4,
+        inner_hidden_size=48, remat=True, remat_policy="save_attn_frac",
+        remat_save_frac=0.5, attn_impl="sta", sta_window=[5, 1],
+        sta_pose_kv_window=0))
+    assert cfg.remat and cfg.remat_policy == "save_attn_frac"
+    assert cfg.remat_save_frac == 0.5
+    assert cfg.attn_impl == "sta" and cfg.sta_window == (5, 1)
+    assert cfg.sta_pose_kv_window == 0

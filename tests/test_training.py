@@ -183,3 +183,22 @@ def test_checkpoint_manager_async_gc(tmp_path):
     restored4, _ = load_checkpoint(str(tmp_path), state, iteration=4)
     np.testing.assert_allclose(np.asarray(restored4["w"]),
                                np.asarray(state["w"]) + 4)
+
+
+def test_trainer_train_mask_freezes_leaves():
+    """Trainer(train_mask=...) leaves masked-False params untouched while
+    the trainable ones move (the LoRA/prefix selective-finetune contract
+    wired through cli/train.py)."""
+    params = {"frozen": jnp.ones((2, 3)), "lora": jnp.ones((2, 3))}
+    mask = {"frozen": False, "lora": True}
+
+    def loss(p, key, batch):
+        return jnp.sum((p["frozen"] + p["lora"]) ** 2)
+
+    cfg = TrainConfig(train_iters=5, lr=1e-1, warmup_iters=1, log_interval=10,
+                      grad_accum=1, clip_grad=10.0)
+    tr = Trainer(params, loss, cfg, train_mask=mask)
+    tr.fit(iter(_data()))
+    np.testing.assert_array_equal(np.asarray(tr.state["params"]["frozen"]),
+                                  np.ones((2, 3)))
+    assert np.abs(np.asarray(tr.state["params"]["lora"]) - 1.0).max() > 1e-3

@@ -435,6 +435,15 @@ def dit_forward(
     # 3-segment apply into a single full-table apply (the per-segment
     # split is only about which table rows hold which regime).
     sta_resident = cfg.attn_impl == "sta"
+    if sta_resident and (T % cfg.sta_tile[0] or Hp % cfg.sta_tile[1]):
+        # e.g. RFSamplerLong tiles with a frame count the strip tile
+        # doesn't divide: fall back to dense rather than assert deep in
+        # the kernel (visible once per trace)
+        print(f"[sta] tile {cfg.sta_tile} does not divide (T={T}, Hp={Hp}); "
+              f"falling back to dense attention for this geometry")
+        sta_resident = False
+    self_impl = "auto" if (cfg.attn_impl == "sta" and not sta_resident) \
+        else cfg.attn_impl
     sta_windowed_pose = cfg.sta_windowed_pose
     if sta_resident and sta_windowed_pose and (
             Wp % 2 or cfg.sta_tile[1] % 2
@@ -511,7 +520,7 @@ def dit_forward(
             else:
                 attn = _sta(q, k, v)
         else:
-            attn = attention(q, k, v, impl=cfg.attn_impl)
+            attn = attention(q, k, v, impl=self_impl)
         attn = dense(lp["attn_out"], _merge_heads(attn))
         hidden = hidden + g_msa * attn
         hidden = _shard_tokens(hidden, mesh)

@@ -295,3 +295,28 @@ def test_dit_sta_impl_full_window_matches_dense(rng):
                                rtol=2e-4, atol=2e-4)
     assert np.isfinite(np.asarray(got_sparse)).all()
     assert np.abs(np.asarray(got_sparse) - np.asarray(want)).max() > 1e-4
+
+
+def test_dit_sta_nondivisible_geometry_falls_back(rng, capsys):
+    """attn_impl='sta' with tiles that don't divide (T, Hp) (e.g. a
+    RFSamplerLong tile geometry) falls back to dense attention with a
+    visible notice instead of asserting in the kernel."""
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+    kw = dict(hidden_size=32, num_layers=2, num_heads=4, inner_hidden_size=48,
+              time_embed_dim=32, text_dim=16, clip_dim=8, share_adaln=True,
+              use_i2v_clip=True, dtype="float32")
+    cfg_s = DiTConfig(**kw, attn_impl="sta", sta_tile=(3, 2))  # T=2 % 3 != 0
+    cfg_d = DiTConfig(**kw, attn_impl="xla")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_d)
+    ks = jax.random.split(jax.random.PRNGKey(6), 6)
+    args = (jax.random.normal(ks[0], (1, 2, 16, 8, 8)), jnp.full((1,), 500.0),
+            jax.random.normal(ks[1], (1, 8, 16)))
+    kws = dict(ref_concat=jax.random.normal(ks[2], (1, 1, 16, 8, 8)),
+               concat_smpl_render=jax.random.normal(ks[3], (1, 2, 16, 4, 4)),
+               image_clip_features=jax.random.normal(ks[4], (1, 5, 8)))
+    got = dit_forward(params, cfg_s, *args, **kws)
+    want = dit_forward(params, cfg_d, *args, **kws)
+    assert "falling back to dense" in capsys.readouterr().out
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -11,6 +11,7 @@ prefetcher plays that role here).
 from __future__ import annotations
 
 import itertools
+import os
 import queue
 import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
@@ -241,28 +242,60 @@ class TarShardDataset:
         self.process_fn = process_fn or (lambda s: s)
 
     def __iter__(self):
+        for shard in itertools.cycle(self.shards):
+            if os.path.isfile(shard):
+                yield from self._iter_local(shard)
+            else:
+                yield from self._iter_stream(shard)
+
+    def _iter_local(self, shard):
+        """Local shard: one-pass native index (csrc/tario.cpp) + pread
+        member reads on a prefetch thread -- the foreign calls release
+        the GIL, so reading the next sample overlaps process_fn and the
+        device step (tarfile fallback applies transparently)."""
+        import queue as _q
+        import threading as _t
+
+        from scail_tpu.native.tario import TarShardIndex
+
+        idx = TarShardIndex(shard)
+        q: "_q.Queue" = _q.Queue(maxsize=4)
+
+        def reader():
+            for i in range(len(idx)):
+                q.put(idx.read_sample(i))
+            q.put(None)
+
+        t = _t.Thread(target=reader, daemon=True)
+        t.start()
+        while True:
+            s = q.get()
+            if s is None:
+                break
+            yield self.process_fn(s)
+
+    def _iter_stream(self, shard):
         import tarfile
 
         from scail_tpu.data.gopen import gopen
 
-        for shard in itertools.cycle(self.shards):
-            # scheme-dispatched stream (file/pipe/rclone/s3/http), the
-            # reference's gopen surface (webds.py:290-368)
-            with gopen(shard) as stream, tarfile.open(
-                    fileobj=stream, mode="r|*") as tf:
-                sample: Dict[str, Any] = {}
-                key = None
-                for member in tf:
-                    if not member.isfile():
-                        continue
-                    base, _, ext = member.name.partition(".")
-                    if key is not None and base != key and sample:
-                        yield self.process_fn(dict(sample, __key__=key))
-                        sample = {}
-                    key = base
-                    sample[ext] = tf.extractfile(member).read()
-                if sample:
+        # scheme-dispatched stream (file/pipe/rclone/s3/http), the
+        # reference's gopen surface (webds.py:290-368)
+        with gopen(shard) as stream, tarfile.open(
+                fileobj=stream, mode="r|*") as tf:
+            sample: Dict[str, Any] = {}
+            key = None
+            for member in tf:
+                if not member.isfile():
+                    continue
+                base, _, ext = member.name.partition(".")
+                if key is not None and base != key and sample:
                     yield self.process_fn(dict(sample, __key__=key))
+                    sample = {}
+                key = base
+                sample[ext] = tf.extractfile(member).read()
+            if sample:
+                yield self.process_fn(dict(sample, __key__=key))
 
 
 def make_loaders(train_ds: Dataset, batch_size: int, *, valid_ds: Optional[Dataset] = None,

@@ -447,9 +447,9 @@ def dit_forward(
     sta_windowed_pose = cfg.sta_windowed_pose
     if sta_resident and sta_windowed_pose and (
             Wp % 2 or cfg.sta_tile[1] % 2
-            or (cfg.sta_tile[0] * cfg.sta_tile[1] * Wp) % 4):
-        print(f"[sta] windowed pose disabled: needs even Wp/tile_h and a "
-              f"4-divisible tile (Wp={Wp}, tile={cfg.sta_tile}); pose "
+            or (cfg.sta_tile[0] * cfg.sta_tile[1] * Wp) % 32):
+        print(f"[sta] windowed pose disabled: needs even Wp/tile_h and "
+              f"ts % 32 == 0 (Wp={Wp}, tile={cfg.sta_tile}); pose "
               f"queries stay dense")
         sta_windowed_pose = False
     if sta_resident:

@@ -68,9 +68,10 @@ def _pose_perm(T, Hp, Wp, ref_len, pose_len, tile_t, tile_h):
     same (t, h) region as video tile (it, ih) at half resolution."""
     hp, wp = Hp // 2, Wp // 2
     assert tile_h % 2 == 0, "windowed-pose STA needs an even tile_h"
-    assert Wp % 2 == 0 and (tile_t * tile_h * Wp) % 4 == 0, (
-        f"windowed-pose STA needs Wp even and a 4-divisible video tile "
-        f"(pose q tile = ts//4), got Wp={Wp} tile=({tile_t},{tile_h})")
+    assert Wp % 2 == 0 and (tile_t * tile_h * Wp) % 32 == 0, (
+        f"windowed-pose STA needs Wp even and ts % 32 == 0 (the pose q "
+        f"tile ts//4 must be 8-row aligned for the TPU kernel), got "
+        f"Wp={Wp} tile=({tile_t},{tile_h})")
     assert pose_len == T * hp * wp, (
         f"windowed-pose STA expects the SCAIL half-res pose grid "
         f"T*(Hp/2)*(Wp/2)={T * hp * wp}, got pose_len={pose_len}")

@@ -37,7 +37,8 @@ def main():
     ap.add_argument("--width", type=int, default=896)
     ap.add_argument("--per-step", action="store_true")
     ap.add_argument("--attn", default="pallas", choices=["pallas", "sta"])
-    ap.add_argument("--sta-window", type=int, nargs=2, default=[3, 3])
+    ap.add_argument("--sta-window", type=int, nargs=2, default=[3, 2])
+    ap.add_argument("--sta-tile", type=int, nargs=2, default=[3, 8])
     args = ap.parse_args()
 
     from scail_tpu.diffusion.denoiser import Denoiser
@@ -52,7 +53,7 @@ def main():
         hidden_size=1536, num_layers=30, num_heads=12, inner_hidden_size=8960,
         time_embed_dim=1536, share_adaln=True, use_i2v_clip=True,
         dtype="bfloat16", attn_impl=args.attn,
-        sta_window=tuple(args.sta_window),
+        sta_window=tuple(args.sta_window), sta_tile=tuple(args.sta_tile),
     )
     key = jax.random.PRNGKey(0)
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16),

@@ -156,16 +156,40 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None):
             pltpu.VMEM((ts_q, 128), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qv.shape, qv.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-    )(jnp.asarray(table), qv, kv_k, kv_v)
-    return out
+    import contextlib
+
+    # CPU smoke runs (CLI --attn-impl sta on a dev box): interpret the
+    # kernel instead of failing to lower.  The interpret flag is
+    # captured when the pallas_call factory runs, so the context must
+    # wrap construction, not just the invocation.
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if jax.devices()[0].platform != "tpu" else contextlib.nullcontext())
+    with ctx:
+        call = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(qv.shape, qv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+        )
+        return call(jnp.asarray(table), qv, kv_k, kv_v)
+
+
+def _dense_rows(qg, kp, vp, scale, pad):
+    """Fully dense attention for the conditioning queries over the
+    padded kv buffer: the flash kernel on TPU (n_zero_cols cancels the
+    explicit zero tail), a plain XLA softmax over the unpadded prefix
+    elsewhere (CPU smoke / tests)."""
+    if jax.devices()[0].platform == "tpu":
+        return _flash_attention_bnsd(qg, kp, vp, scale, 1024, 1024, pad)
+    k = kp[:, : kp.shape[1] - pad] if pad else kp
+    v = vp[:, : vp.shape[1] - pad] if pad else vp
+    logits = jnp.einsum("bqd,bkd->bqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkd->bqd", probs, v)
 
 
 def sta_order(grid_thw, ref_len, pose_len, tile, windowed_pose=False):
@@ -260,12 +284,10 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
                                ts, scale, pad, ts_q=ts // 4)
         # ref queries stay dense over the whole kv (softmax is
         # order-invariant, so the tile-major kv is fine)
-        out_g = _flash_attention_bnsd(qt[:, sv + pose_len:], kp, vp, scale,
-                                      1024, 1024, pad)
+        out_g = _dense_rows(qt[:, sv + pose_len:], kp, vp, scale, pad)
         out = jnp.concatenate([out_v, out_p, out_g], axis=1)
     else:
-        out_g = _flash_attention_bnsd(qt[:, sv:], kp, vp, scale,
-                                      1024, 1024, pad)
+        out_g = _dense_rows(qt[:, sv:], kp, vp, scale, pad)
         out = jnp.concatenate([out_v, out_g], axis=1)
     if not pre_tiled:
         out = out[:, jnp.asarray(np.argsort(order))]

@@ -507,7 +507,14 @@ def dit_forward(
                     windowed_pose=sta_windowed_pose,
                     pose_kv_window=cfg.sta_pose_kv_window)
 
-            if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+            if mesh is not None and mesh.shape.get(SEQ_AXIS, 1) > 1:
+                # sequence-parallel STA: the Ulysses head scatter gives
+                # each shard the FULL (tile-major) sequence for its head
+                # subset, so the windowed kernel runs unchanged inside
+                from scail_tpu.parallel.ulysses import ulysses_attention
+
+                attn = ulysses_attention(q, k, v, mesh, attn_fn=_sta)
+            elif mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
                 # TP composition: heads are embarrassingly parallel in
                 # the kernel, so run per-shard over the model axis (the
                 # SPMD partitioner cannot split a bare pallas_call)

@@ -26,17 +26,23 @@ from jax.sharding import PartitionSpec as P
 from scail_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 
-def ulysses_attention(q, k, v, mesh, *, scale=None, impl: str = "auto"):
+def ulysses_attention(q, k, v, mesh, *, scale=None, impl: str = "auto",
+                      attn_fn=None):
     """q/k/v: logically-global (b, S, n, d); returns (b, S, n, d).
 
     Must be called under jit with `mesh`; the all_to_all happens on the
     'seq' axis only.  Requires n % (seq * model) == 0 and S % seq == 0.
+    `attn_fn(q, k, v) -> o` overrides the local full-sequence attention
+    (e.g. sliding-tile attention after the head scatter -- each shard
+    then holds the full sequence for its head subset).
     """
     from scail_tpu.ops.attention import attention
 
+    if attn_fn is None:
+        attn_fn = lambda a, b, c: attention(a, b, c, scale=scale, impl=impl)
     seq = mesh.shape[SEQ_AXIS]
     if seq == 1:
-        return attention(q, k, v, scale=scale, impl=impl)
+        return attn_fn(q, k, v)
 
     n = q.shape[2]
     assert n % (seq * mesh.shape[MODEL_AXIS]) == 0, (
@@ -55,7 +61,7 @@ def ulysses_attention(q, k, v, mesh, *, scale=None, impl: str = "auto"):
         ql = jax.lax.all_to_all(ql, SEQ_AXIS, split_axis=2, concat_axis=1, tiled=True)
         kl = jax.lax.all_to_all(kl, SEQ_AXIS, split_axis=2, concat_axis=1, tiled=True)
         vl = jax.lax.all_to_all(vl, SEQ_AXIS, split_axis=2, concat_axis=1, tiled=True)
-        ol = attention(ql, kl, vl, scale=scale, impl=impl)
+        ol = attn_fn(ql, kl, vl)
         return jax.lax.all_to_all(ol, SEQ_AXIS, split_axis=1, concat_axis=2, tiled=True)
 
     return region(q, k, v)

@@ -262,3 +262,44 @@ def test_dit_sta_tp_mesh_matches_dense(rng):
             lambda p, x: dit_forward(p, cfg_s, x, ts, ctx, mesh=mesh, **kws)
         )(sp, x))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_dit_sta_ulysses_mesh_matches_dense(rng):
+    """attn_impl='sta' under a seq=2 x model=2 mesh: the Ulysses head
+    scatter hands each shard the full tile-major sequence, the windowed
+    kernel runs per head subset, and a full-coverage window equals the
+    unsharded dense forward."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scail_tpu.models.dit import (DiTConfig, dit_forward,
+                                      dit_param_rules, init_dit_params)
+    from scail_tpu.parallel.sharding import shard_tree
+
+    kw = dict(hidden_size=32, num_layers=2, num_heads=4, inner_hidden_size=48,
+              time_embed_dim=32, text_dim=16, clip_dim=8, share_adaln=True,
+              use_i2v_clip=True, dtype="float32")
+    cfg_d = DiTConfig(**kw, attn_impl="xla")
+    cfg_s = DiTConfig(**kw, attn_impl="sta", sta_tile=(1, 2),
+                      sta_window=(2, 2))
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_d)
+    x = jnp.asarray(rng.standard_normal((1, 2, 16, 8, 8)), jnp.float32)
+    ts = jnp.asarray([100.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, 16)), jnp.float32)
+    kws = dict(
+        ref_concat=jnp.asarray(rng.standard_normal((1, 1, 16, 8, 8)),
+                               jnp.float32),
+        concat_smpl_render=jnp.asarray(rng.standard_normal((1, 2, 16, 4, 4)),
+                                       jnp.float32),
+        image_clip_features=jnp.asarray(rng.standard_normal((1, 5, 8)),
+                                        jnp.float32))
+
+    want = np.asarray(dit_forward(params, cfg_d, x, ts, ctx, **kws))
+    mesh = make_mesh(MeshSpec(data=1, seq=2, model=2),
+                     devices=jax.devices()[:4])
+    sp = shard_tree(params, dit_param_rules(), mesh)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jax.jit(
+            lambda p, x: dit_forward(p, cfg_s, x, ts, ctx, mesh=mesh, **kws)
+        )(sp, x))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

@@ -53,6 +53,7 @@ int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
     if (!f) return -1;
     char hdr[512];
     std::string longname;
+    int64_t pax_size = -1;
     int64_t count = 0, names_used = 0;
     while (std::fread(hdr, 1, 512, f) == 512) {
         bool empty = true;
@@ -60,6 +61,10 @@ int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
         if (empty) break;  // first of the two terminating zero blocks
         int64_t size = field_value(hdr + 124, 12);
         char type = hdr[156];
+        if (type != 'x' && type != 'L' && pax_size >= 0) {
+            size = pax_size;  // pax size= record overrides the ustar field
+            pax_size = -1;
+        }
         int64_t payload = (size + 511) / 512 * 512;
         if (type == 'L') {  // GNU long name: payload is the real name
             if (size < 4096) {
@@ -82,6 +87,8 @@ int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
                     if (rec <= 0 || pos + rec > buf.size()) break;
                     std::string kv = buf.substr(sp + 1, pos + rec - sp - 2);
                     if (kv.rfind("path=", 0) == 0) longname = kv.substr(5);
+                    if (kv.rfind("size=", 0) == 0)
+                        pax_size = std::strtoll(kv.c_str() + 5, nullptr, 10);
                     pos += rec;
                 }
                 if (std::fseek(f, payload - size, SEEK_CUR) != 0) break;
@@ -112,6 +119,7 @@ int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
             ++count;
         } else {
             longname.clear();
+            pax_size = -1;
         }
         if (std::fseek(f, payload, SEEK_CUR) != 0) break;
     }

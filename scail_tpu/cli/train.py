@@ -82,13 +82,11 @@ def main(argv=None):
         engine.shard_params(mesh)
 
     params = engine.params["dit"]
-    lora_mask_tree = None
     if args.lora_rank > 0:
-        from scail_tpu.training.lora import add_lora, lora_mask
+        from scail_tpu.training.lora import add_lora
 
         params = add_lora(params, jax.random.PRNGKey(args.seed + 1),
                           rank=args.lora_rank)
-        lora_mask_tree = lora_mask(params)
         print_rank0(f"LoRA finetuning enabled (rank {args.lora_rank})")
 
     dcfg = engine.network.config
@@ -106,6 +104,14 @@ def main(argv=None):
         engine.params["dit"] = params
         print_rank0("save_attn_frac remat: layer stack pre-split "
                     f"({save_attn_head_layers(dcfg)} head layers)")
+
+    # the freeze mask must mirror the FINAL param tree (after any
+    # save_attn_frac split), or multi_transform's label tree mismatches
+    lora_mask_tree = None
+    if args.lora_rank > 0:
+        from scail_tpu.training.lora import lora_mask
+
+        lora_mask_tree = lora_mask(params)
 
     def loss_fn(dit_params, key, batch):
         engine.params["dit"] = dit_params

@@ -253,25 +253,31 @@ class TarShardDataset:
         member reads on a prefetch thread -- the foreign calls release
         the GIL, so reading the next sample overlaps process_fn and the
         device step (tarfile fallback applies transparently)."""
-        import queue as _q
-        import threading as _t
-
         from scail_tpu.native.tario import TarShardIndex
 
-        idx = TarShardIndex(shard)
-        q: "_q.Queue" = _q.Queue(maxsize=4)
+        if not hasattr(self, "_index_cache"):
+            self._index_cache = {}
+        idx = self._index_cache.get(shard)
+        if idx is None:
+            idx = self._index_cache[shard] = TarShardIndex(shard)
+        q: "queue.Queue" = queue.Queue(maxsize=4)
 
         def reader():
-            for i in range(len(idx)):
-                q.put(idx.read_sample(i))
-            q.put(None)
+            try:
+                for i in range(len(idx)):
+                    q.put(idx.read_sample(i))
+                q.put(None)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
 
-        t = _t.Thread(target=reader, daemon=True)
+        t = threading.Thread(target=reader, daemon=True)
         t.start()
         while True:
             s = q.get()
             if s is None:
                 break
+            if isinstance(s, BaseException):
+                raise s
             yield self.process_fn(s)
 
     def _iter_stream(self, shard):

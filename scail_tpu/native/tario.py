@@ -102,7 +102,9 @@ def index_tar(path: str) -> List[Tuple[str, int, int]]:
     raw = names.raw
     for i in range(n):
         end = raw.index(b"\0", pos)
-        out.append((raw[pos:end].decode(), int(offsets[i]), int(sizes[i])))
+        # surrogateescape to match Python tarfile's name decoding
+        out.append((raw[pos:end].decode("utf-8", "surrogateescape"),
+                    int(offsets[i]), int(sizes[i])))
         pos = end + 1
     return out
 
@@ -123,7 +125,8 @@ def read_member(path: str, offset: int, size: int) -> bytes:
 
 class TarShardIndex:
     """Random-access view of one local shard: members grouped into
-    webdataset samples by basename prefix, archive order preserved."""
+    webdataset samples by full-name prefix (everything before the first
+    dot, matching the stream path), archive order preserved."""
 
     def __init__(self, path: str):
         self.path = path
@@ -131,7 +134,10 @@ class TarShardIndex:
         self.samples: List[Tuple[str, Dict[str, Tuple[int, int]]]] = []
         cur_key, cur = None, {}
         for name, off, size in self.members:
-            base, _, ext = os.path.basename(name).partition(".")
+            # group by the FULL name prefix, exactly like the stream
+            # path (member.name.partition(".")): nested shards must
+            # yield identical keys/grouping on both code paths
+            base, _, ext = name.partition(".")
             if cur_key is not None and base != cur_key and cur:
                 self.samples.append((cur_key, cur))
                 cur = {}

@@ -90,5 +90,14 @@ def fused_ema_adam(
 
 def swap_in_ema(params, opt_state: EmaAdamState):
     """Return (ema_params, original) -- the reference's EMA double-save swap
-    (sat/training/model_io.py:114-157)."""
-    return jax.tree.map(lambda s, p: s.astype(p.dtype), opt_state.shadow, params), params
+    (sat/training/model_io.py:114-157).  Frozen leaves under a selective
+    finetune (optax.masked/multi_transform) carry MaskedNode shadows;
+    those fall back to the live (never-updated) params."""
+    import optax
+
+    def pick(s, p):
+        return p if isinstance(s, optax.MaskedNode) else s.astype(p.dtype)
+
+    ema = jax.tree.map(pick, opt_state.shadow, params,
+                       is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+    return ema, params

@@ -220,8 +220,38 @@ class Trainer:
         return loss
 
     # ------------------------------------------------------------------
+    def _ema_state(self):
+        """Locate the EmaAdamState anywhere in the optimizer-state tree
+        (optax.chain nests it in a tuple; multi_transform under
+        train_mask wraps it further)."""
+        from scail_tpu.training.ema_adam import EmaAdamState
+
+        found = []
+
+        def walk(node):
+            if isinstance(node, EmaAdamState):
+                found.append(node)
+            elif isinstance(node, (tuple, list)):
+                for c in node:
+                    walk(c)
+            elif isinstance(node, dict):
+                for c in node.values():
+                    walk(c)
+            elif hasattr(node, "_fields"):  # other NamedTuple states
+                for f in node._fields:
+                    walk(getattr(node, f))
+
+        walk(self.state["opt_state"])
+        return found[0] if found else None
+
     def save(self, iteration: int):
-        ema_params, _ = swap_in_ema(self.state["params"], self.state["opt_state"][1])
+        ema = self._ema_state()
+        if ema is not None:
+            ema_params, _ = swap_in_ema(self.state["params"], ema)
+        else:
+            # selective finetunes freeze the shadow of frozen leaves out
+            # of the state; fall back to the live params
+            ema_params = self.state["params"]
         if getattr(self, "_ckpt_mgr", None) is None:
             from scail_tpu.training.checkpoint import CheckpointManager
 

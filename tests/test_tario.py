@@ -71,3 +71,41 @@ def test_tar_shard_dataset_local_fast_path(tmp_path):
     stream = list(ds._iter_stream(shard))
     for a, b in zip(got[:3], stream):
         assert a == b
+
+
+def test_nested_names_group_like_stream_path(tmp_path):
+    """Directory-nested member names must produce the same keys and
+    grouping on the local fast path as on the tarfile stream path."""
+    from scail_tpu.data.datasets import TarShardDataset
+
+    shard = str(tmp_path / "s.tar")
+    with tarfile.open(shard, "w") as tf:
+        for d in ("a", "b"):
+            for ext in ("jpg", "txt"):
+                payload = f"{d}-{ext}".encode()
+                info = tarfile.TarInfo(f"{d}/000.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+    ds = TarShardDataset([shard], shuffle_shards=False)
+    it = iter(ds)
+    local = [next(it), next(it)]
+    stream = list(ds._iter_stream(shard))
+    assert [s["__key__"] for s in local] == ["a/000", "b/000"]
+    assert local == stream
+
+
+def test_local_reader_surfaces_errors(tmp_path):
+    """A corrupt shard must raise in the consumer, not hang the loop."""
+    from scail_tpu.data.datasets import TarShardDataset
+    from scail_tpu.native import tario
+
+    shard = str(tmp_path / "s.tar")
+    _make_shard(shard, n=2)
+    idx = tario.TarShardIndex(shard)          # index while intact
+    with open(shard, "r+b") as f:             # truncate payloads away
+        f.truncate(600)
+    ds = TarShardDataset([shard], shuffle_shards=False)
+    ds._index_cache = {shard: idx}
+    with pytest.raises(OSError):
+        for _ in ds:
+            pass

@@ -202,3 +202,24 @@ def test_trainer_train_mask_freezes_leaves():
     np.testing.assert_array_equal(np.asarray(tr.state["params"]["frozen"]),
                                   np.ones((2, 3)))
     assert np.abs(np.asarray(tr.state["params"]["lora"]) - 1.0).max() > 1e-3
+
+
+def test_trainer_train_mask_saves_checkpoint(tmp_path):
+    """save() must work under train_mask: the EMA state sits inside
+    multi_transform's wrapper and frozen leaves carry MaskedNode
+    shadows (the LoRA checkpoint path)."""
+    params = {"frozen": jnp.ones((2, 3)), "lora": jnp.ones((2, 3))}
+    mask = {"frozen": False, "lora": True}
+
+    def loss(p, key, batch):
+        return jnp.sum((p["frozen"] + p["lora"]) ** 2)
+
+    cfg = TrainConfig(train_iters=3, lr=1e-1, warmup_iters=1, log_interval=10,
+                      save_interval=2, save_dir=str(tmp_path / "ckpt"),
+                      grad_accum=1, clip_grad=10.0, async_save=False)
+    tr = Trainer(params, loss, cfg, train_mask=mask)
+    tr.fit(iter(_data()))
+    assert (tmp_path / "ckpt" / "latest").exists()
+    # frozen leaf exported unchanged in the EMA params
+    ema = tr._ema_state()
+    assert ema is not None

@@ -49,33 +49,27 @@ def main():
     print(json.dumps({"impl": "dense", "ms": round(t_dense, 2),
                       "tflops": round(flops / t_dense / 1e9, 1)}))
 
-    for tile, window in [((3, 4), (3, 3)), ((3, 8), (3, 3)),
-                         ((3, 8), (3, 2)), ((3, 16), (3, 2)),
-                         ((7, 8), (3, 3)), ((3, 16), (5, 2)),
-                         ((21, 8), (1, 3))]:
-        f = jax.jit(lambda q, k, v, tile=tile, window=window: sta_attention(
+    for tile, window, wp, pkw in [
+            ((3, 8), (3, 2), False, 0),     # video windows only
+            ((3, 8), (3, 2), True, 0),      # + windowed pose queries
+            ((3, 8), (3, 2), True, 3),      # + pose-kv strips (default)
+            ((3, 8), (3, 3), True, 3),
+            ((3, 4), (3, 3), True, 3)]:
+        f = jax.jit(lambda q, k, v, tile=tile, window=window, wp=wp,
+                    pkw=pkw: sta_attention(
             q, k, v, grid_thw=(T, Hp, Wp), ref_len=ref_len,
-            pose_len=pose_len, tile=tile, window=window))
+            pose_len=pose_len, tile=tile, window=window,
+            windowed_pose=wp, pose_kv_window=pkw))
         try:
             ms = bench(lambda: f(q, k, v))
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"impl": f"sta{tile}{window}",
                               "error": str(e)[:120]}))
             continue
-        # attended pairs for the config (for an effective-TFLOP/s view)
-        n_t, n_h = T // tile[0], Hp // tile[1]
-        ts = tile[0] * tile[1] * Wp
-        wt, wh = min(window[0], n_t), min(window[1], n_h)
-        sv = T * Hp * Wp
-        s_glob = ref_len + pose_len
-        pad = (-s_glob) % ts
-        kv_per_vq = wt * wh * ts + s_glob + pad
-        pairs = sv * kv_per_vq + s_glob * s
         print(json.dumps({
-            "impl": f"sta t{tile} w{window}", "ms": round(ms, 2),
+            "impl": f"sta t{tile} w{window} wp{int(wp)} pkw{pkw}",
+            "ms": round(ms, 2),
             "vs_dense": round(ms / t_dense, 3),
-            "pair_frac": round(pairs / (s * s), 3),
-            "eff_tflops": round(4 * pairs * n * d * b / ms / 1e9, 1),
         }))
 
 

@@ -125,7 +125,7 @@ def main():
             # v5e chip (1.3B, 512p, 50 steps + streamed VAE decode) --
             # NOT re-measured by this script; rerun bench_e2e to refresh
             "r2_recorded_e2e_s_dense_1p3b": 397.1,
-            "r2_recorded_e2e_s_sta_1p3b": 267.5,
+            "r2_recorded_e2e_s_sta_1p3b": 240.7,
             "device": str(dev),
         },
     }))

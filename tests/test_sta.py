@@ -159,3 +159,31 @@ def test_sta_pose_kv_window_mask_structure():
     assert m[:, :REF].all()              # ref stays visible to everyone
     assert m[:REF].all()                 # ref queries dense
     assert np.diag(m).all()              # self-attention intact
+
+
+@pytest.mark.slow
+def test_engine_sample_sta_matches_dense():
+    """engine.sample with attn_impl='sta' (full-coverage window) ==
+    dense sampling, end to end through the RF sampler — the CLI
+    --attn-impl sta path (sampler loop + tile-major residency +
+    interpret kernel on CPU)."""
+    import dataclasses
+
+    from scail_tpu.engine import VideoDiffusionEngine
+    from scail_tpu.testing import tiny_cond, tiny_model_config
+
+    mc = tiny_model_config()
+    mc["network_config"]["params"]["dtype"] = "fp32"
+    mc["sampler_config"]["params"]["num_steps"] = 2
+    eng = VideoDiffusionEngine(mc)
+    eng.init_params(jax.random.PRNGKey(0))
+    cond = tiny_cond(jax.random.PRNGKey(1))
+
+    want = np.asarray(eng.sample(jax.random.PRNGKey(2), cond, cond,
+                                 batch_size=1, shape=(2, 16, 8, 8)))
+    eng.network.config = dataclasses.replace(
+        eng.network.config, attn_impl="sta", sta_tile=(1, 2),
+        sta_window=(2, 2))
+    got = np.asarray(eng.sample(jax.random.PRNGKey(2), cond, cond,
+                                batch_size=1, shape=(2, 16, 8, 8)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -23,12 +23,17 @@ log2-domain online-softmax flash kernel (ops/attention.py:_flash_kernel)
 driven by a scalar-prefetched kv-block table, one table row per q tile
 (the splash-attention indexing pattern).
 
-Inference-only: sampling never differentiates through attention; train
-with the dense kernels.
+Trainable: the windowed call carries a custom VJP (dq walks the same
+block table; dk/dv walk the INVERSE table -- for every kv block, the q
+tiles that attend it -- with variable row lengths handled by a
+prefetched length vector and a compute guard), so attn_impl='sta'
+carries the sparse speedup into finetuning.  Gradients are exact vs
+masked-dense autodiff (tests/test_sta.py).
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Tuple
@@ -36,11 +41,20 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scail_tpu.ops.attention import (_flash_attention_bnsd, _flash_kernel,
-                                     _prescale, _VMEM_LIMIT)
+                                     _prescale, _LN2, _LOG2E, _VMEM_LIMIT)
+
+
+def _pallas_ctx():
+    """CPU smoke runs interpret the kernels instead of failing to lower;
+    the flag is captured at pallas_call construction, so the context must
+    wrap construction."""
+    return (pltpu.force_tpu_interpret_mode()
+            if jax.devices()[0].platform != "tpu" else contextlib.nullcontext())
 
 
 def _strip_layout(T, Hp, Wp, ref_len, pose_len, tile_t, tile_h):
@@ -94,8 +108,8 @@ def _window_table(n_t, n_h, win_t, win_h, n_pose_blocks, n_ref_blocks,
     pose_kv_win_t > 0 the pose region (laid out per t-strip) is itself
     temporally windowed: only the pose blocks of the pose_kv_win_t
     t-strips around the query's strip are visited; ref blocks are
-    always all visited (they carry the zero pad, so the pad correction
-    stays exact for every row)."""
+    always all visited and always LAST (they carry the zero pad, which
+    the kernel's tail-step mask expects at the end of the walk)."""
     wt, wh = min(win_t, n_t), min(win_h, n_h)
     n_v = n_t * n_h
     bps = n_pose_blocks // n_t if pose_kv_win_t else 0   # blocks per strip
@@ -118,24 +132,52 @@ def _window_table(n_t, n_h, win_t, win_h, n_pose_blocks, n_ref_blocks,
     return np.asarray(rows, np.int32)
 
 
-def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None):
+def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None,
+                   with_lse=False):
     """qv: (B, n_tiles*ts_q, d) tile-major queries; kv_k/kv_v:
     (B, n_blocks*ts, d) = [video tiles | conditioning (zero-padded)].
     ts_q defaults to the kv block size ts (video queries); the windowed
-    pose stream passes its own smaller tile.  Output like qv."""
+    pose stream passes its own smaller tile.  Output like qv.
+
+    with_lse=True additionally returns the natural-log lse laid out as
+    (B, nq, ts_pad) fp32 with ts_pad = ts_q rounded up to 128 lanes
+    (zero tail) -- the backward pass consumes this layout directly; the
+    sampling path skips the extra output entirely."""
     B, sq, d = qv.shape
     ts_q = ts if ts_q is None else ts_q
     nq = sq // ts_q
     n_steps = table.shape[1]
+    ts_pad = -(-ts_q // 128) * 128
     qv = _prescale(qv, scale)
 
-    def _kernel(table_ref, q_ref, k_ref, v_ref, o_ref,
-                lse_ref, acc_ref, m_ref, l_ref):
-        # lse lives in scratch: sampling never consumes it, and a real
-        # (1, 1, ts) output block would violate the TPU 128-lane rule
-        # for ts that is only 8-aligned
+    def _kernel(table_ref, q_ref, k_ref, v_ref, o_ref, *rest):
+        # lse lives in scratch: the sampling path never consumes it, and
+        # a real (1, 1, ts_q) output block would violate the TPU
+        # 128-lane rule for ts_q that is only 8-aligned; the lse-output
+        # variant copies the scratch out zero-padded to 128 lanes.
+        if with_lse:
+            lseo_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+        else:
+            lse_ref, acc_ref, m_ref, l_ref = rest
         _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                       acc_ref, m_ref, l_ref, n_pad=n_pad)
+        if with_lse:
+            @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+            def _copy_lse():
+                val = lse_ref[0, 0]
+                if ts_pad > ts_q:
+                    val = jnp.concatenate(
+                        [val, jnp.zeros((ts_pad - ts_q,), jnp.float32)])
+                lseo_ref[0, 0] = val
+
+    out_specs = pl.BlockSpec((1, ts_q, d), lambda b, qi, ki, tref: (b, qi, 0))
+    out_shape = jax.ShapeDtypeStruct(qv.shape, qv.dtype)
+    if with_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, ts_pad),
+                                  lambda b, qi, ki, tref: (b, qi, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, nq, ts_pad), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -147,8 +189,7 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None):
             pl.BlockSpec((1, ts, d),
                          lambda b, qi, ki, tref: (b, tref[qi, ki], 0)),
         ],
-        out_specs=pl.BlockSpec((1, ts_q, d),
-                               lambda b, qi, ki, tref: (b, qi, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((1, 1, ts_q), jnp.float32),
             pltpu.VMEM((ts_q, d), jnp.float32),
@@ -156,25 +197,211 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None):
             pltpu.VMEM((ts_q, 128), jnp.float32),
         ],
     )
-    import contextlib
-
-    # CPU smoke runs (CLI --attn-impl sta on a dev box): interpret the
-    # kernel instead of failing to lower.  The interpret flag is
-    # captured when the pallas_call factory runs, so the context must
-    # wrap construction, not just the invocation.
-    ctx = (pltpu.force_tpu_interpret_mode()
-           if jax.devices()[0].platform != "tpu" else contextlib.nullcontext())
-    with ctx:
+    with _pallas_ctx():
         call = pl.pallas_call(
             _kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(qv.shape, qv.dtype),
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
                 vmem_limit_bytes=_VMEM_LIMIT,
             ),
         )
         return call(jnp.asarray(table), qv, kv_k, kv_v)
+
+
+# --------------------------------------------------------------------------
+# Windowed backward (the splash pattern): dq re-walks the forward block
+# table; dk/dv walk the inverse table (per kv block, the q tiles that
+# attend it).  ROADMAP round-3 item "STA training".
+# --------------------------------------------------------------------------
+def _inverse_table(table, n_blocks):
+    """(nq, n_steps) forward table -> (n_blocks, inv_len) inverse table +
+    (n_blocks,) row lengths.  Rows are padded by repeating the last valid
+    q-tile index (fetch elided by the pipeline; compute skipped via the
+    length guard).  A block attended by nobody gets index 0, length 0."""
+    rows = [[] for _ in range(n_blocks)]
+    for qi in range(table.shape[0]):
+        for j in table[qi]:
+            rows[int(j)].append(qi)
+    lens = np.asarray([len(r) for r in rows], np.int32)
+    inv_len = max(1, int(lens.max()) if len(lens) else 1)
+    inv = np.zeros((n_blocks, inv_len), np.int32)
+    for j, r in enumerate(rows):
+        if r:
+            inv[j, : len(r)] = r
+            inv[j, len(r):] = r[-1]
+    return inv, lens
+
+
+def _sta_dq_kernel(table_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, acc_ref, *, scale, ts_q):
+    """Windowed dq: same block walk as the forward.  q is pre-scaled by
+    scale*log2e and lse is log2-domain, so p = exp2(min(s - lse2, 0)) is
+    the exact softmax; zero-padded kv columns contribute ds*k = 0."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse2 = lse_ref[0, 0][:ts_q][:, None]
+    delta = delta_ref[0, 0][:ts_q][:, None]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(jnp.minimum(s - lse2, 0.0))
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(k.dtype)
+    acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _sta_dkv_kernel(inv_ref, len_ref, q_ref, do_ref, lse_ref, delta_ref,
+                    k_ref, v_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, ts_q):
+    """Windowed dk/dv over the inverse table.  Padded row entries repeat
+    the last valid q tile; the length guard skips their compute (their
+    DMA is elided by the pipeline since the block index is unchanged)."""
+    bi = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(qi < len_ref[bi])
+    def _body():
+        q = q_ref[0]       # pre-scaled by scale*log2e
+        do = do_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        lse2 = lse_ref[0, 0][:ts_q][None, :]
+        delta = delta_ref[0, 0][:ts_q][None, :]
+        s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p_t = jnp.exp2(jnp.minimum(s_t - lse2, 0.0))
+        dv_acc[:] += jax.lax.dot_general(p_t.astype(do.dtype), do,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds_t = (p_t * (dp_t - delta)).astype(q.dtype)
+        dk_acc[:] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _fin():
+        dk_ref[0] = (dk_acc[:] * _LN2).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _sta_windowed_bwd_impl(q, kp, vp, out, lse, do, table, ts, scale, ts_q):
+    """q: (B, nq*ts_q, d) original (unscaled) tile-major queries; kp/vp:
+    (B, n_blocks*ts, d) padded kv; lse: (B, nq, ts_pad) natural-log.
+    Returns (dq, dkp, dvp) with dkp/dvp over the full padded kv (the
+    caller's pad-concat VJP drops the tail)."""
+    B, sq, d = q.shape
+    nq = sq // ts_q
+    n_blocks = kp.shape[1] // ts
+    ts_pad = lse.shape[-1]
+    n_steps = table.shape[1]
+    inv, lens = _inverse_table(table, n_blocks)
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta.reshape(B, nq, ts_q)
+    if ts_pad > ts_q:
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, ts_pad - ts_q)))
+    lse2 = lse * _LOG2E  # log2-domain for the exp2 kernels
+    q2 = _prescale(q, scale)
+
+    qspec = pl.BlockSpec((1, ts_q, d), lambda b, qi, ki, tref: (b, qi, 0))
+    kspec = pl.BlockSpec((1, ts, d),
+                         lambda b, qi, ki, tref: (b, tref[qi, ki], 0))
+    lspec = pl.BlockSpec((1, 1, ts_pad), lambda b, qi, ki, tref: (b, qi, 0))
+    with _pallas_ctx():
+        dq = pl.pallas_call(
+            functools.partial(_sta_dq_kernel, scale=scale, ts_q=ts_q),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, nq, n_steps),
+                in_specs=[qspec, kspec, kspec, qspec, lspec, lspec],
+                out_specs=qspec,
+                scratch_shapes=[pltpu.VMEM((ts_q, d), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+        )(jnp.asarray(table), q2, kp, vp, do, lse2, delta)
+
+    # dk/dv: kv blocks in the grid, inverse-table q walk innermost
+    qspec2 = pl.BlockSpec((1, ts_q, d),
+                          lambda b, bi, qi, iref, lref: (b, iref[bi, qi], 0))
+    lspec2 = pl.BlockSpec((1, 1, ts_pad),
+                          lambda b, bi, qi, iref, lref: (b, iref[bi, qi], 0))
+    kspec2 = pl.BlockSpec((1, ts, d), lambda b, bi, qi, iref, lref: (b, bi, 0))
+    with _pallas_ctx():
+        dk, dv = pl.pallas_call(
+            functools.partial(_sta_dkv_kernel, ts_q=ts_q),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, n_blocks, inv.shape[1]),
+                in_specs=[qspec2, qspec2, lspec2, lspec2, kspec2, kspec2],
+                out_specs=(kspec2, kspec2),
+                scratch_shapes=[pltpu.VMEM((ts, d), jnp.float32),
+                                pltpu.VMEM((ts, d), jnp.float32)],
+            ),
+            out_shape=(jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+                       jax.ShapeDtypeStruct(vp.shape, vp.dtype)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+        )(jnp.asarray(inv), jnp.asarray(lens), q2, do, lse2, delta, kp, vp)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _sta_windowed(q, kp, vp, table_t, ts, scale, n_pad, ts_q):
+    """Differentiable windowed attention: q (B, nq*ts_q, d) tile-major;
+    kp/vp (B, n_blocks*ts, d) zero-padded kv; table_t a hashable
+    tuple-of-tuples block table (static)."""
+    table = np.asarray(table_t, np.int32)
+    return _sta_video_fwd(q, kp, vp, table, ts, scale, n_pad, ts_q=ts_q)
+
+
+def _sta_windowed_vjp_fwd(q, kp, vp, table_t, ts, scale, n_pad, ts_q):
+    table = np.asarray(table_t, np.int32)
+    out, lse = _sta_video_fwd(q, kp, vp, table, ts, scale, n_pad,
+                              ts_q=ts_q, with_lse=True)
+    # same names as the dense flash VJP so the save_attn remat policies
+    # keep STA state too (models/dit.py remat_policy)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, kp, vp, out, lse)
+
+
+def _sta_windowed_vjp_bwd(table_t, ts, scale, n_pad, ts_q, res, do):
+    q, kp, vp, out, lse = res
+    table = np.asarray(table_t, np.int32)
+    return _sta_windowed_bwd_impl(q, kp, vp, out, lse, do, table, ts,
+                                  scale, ts_q)
+
+
+_sta_windowed.defvjp(_sta_windowed_vjp_fwd, _sta_windowed_vjp_bwd)
 
 
 def _dense_rows(qg, kp, vp, scale, pad):
@@ -274,14 +501,16 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
             [t, jnp.zeros((b * n, pad, d), t.dtype)], axis=1)
 
     kp, vp = kv_buf(kt), kv_buf(vt)
-    out_v = _sta_video_fwd(qt[:, :sv], kp, vp, table, ts, scale, pad)
+    table_t = tuple(map(tuple, table.tolist()))
+    out_v = _sta_windowed(qt[:, :sv], kp, vp, table_t, ts, scale, pad, ts)
     # the dense conditioning queries consume the SAME padded kv buffers
-    # (n_zero_cols corrects the explicit zero tail exactly) so kt/vt die
-    # right after the pad concat -- at 14B the duplicate kv lifetimes
-    # were the difference between fitting one chip and OOM
+    # (n_zero_cols extends the kernel's tail mask over the explicit zero
+    # tail) so kt/vt die right after the pad concat -- at 14B the
+    # duplicate kv lifetimes were the difference between fitting one
+    # chip and OOM
     if windowed_pose:
-        out_p = _sta_video_fwd(qt[:, sv:sv + pose_len], kp, vp, table,
-                               ts, scale, pad, ts_q=ts // 4)
+        out_p = _sta_windowed(qt[:, sv:sv + pose_len], kp, vp, table_t,
+                              ts, scale, pad, ts // 4)
         # ref queries stay dense over the whole kv (softmax is
         # order-invariant, so the tile-major kv is fine)
         out_g = _dense_rows(qt[:, sv + pose_len:], kp, vp, scale, pad)

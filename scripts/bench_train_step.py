@@ -43,6 +43,9 @@ def main():
                     choices=["default", "save_attn", "offload_attn",
                              "save_attn_frac"])
     ap.add_argument("--save-frac", type=float, default=0.5)
+    ap.add_argument("--attn-impl", default=None,
+                    help="override the self-attention impl (e.g. 'sta' to "
+                         "measure the windowed-VJP training step)")
     args = ap.parse_args()
 
     import optax
@@ -74,6 +77,9 @@ def main():
         b, T, H, W = 1, 2, 8, 8
         s_txt, s_clip = 16, 9
         peak_tflops = 1.0
+    if args.attn_impl:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, attn_impl=args.attn_impl)
 
     key = jax.random.PRNGKey(0)
     params = jax.tree.map(lambda p: p.astype(cfg.compute_dtype),
@@ -198,6 +204,7 @@ def main():
             "remat": cfg.remat,
             "remat_policy": cfg.remat_policy,
             "optimizer": args.optimizer,
+            "attn_impl": cfg.attn_impl,
             "loss": float(loss),
             "device": str(dev),
         },

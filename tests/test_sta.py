@@ -161,6 +161,61 @@ def test_sta_pose_kv_window_mask_structure():
     assert np.diag(m).all()              # self-attention intact
 
 
+def _grad_pair(fn_got, fn_want, q, k, v):
+    """Gradients of a scalar readout through both attentions."""
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    got = jax.grad(loss(fn_got), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss(fn_want), argnums=(0, 1, 2))(q, k, v)
+    return got, want
+
+
+@pytest.mark.parametrize("window", [(1, 1), (2, 1)])
+def test_sta_grads_match_masked_dense(window):
+    """The windowed custom VJP (dq table walk + inverse-table dk/dv) is
+    exact vs autodiff through the masked-dense oracle."""
+    q, k, v = _qkv(11)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    kw = dict(grid_thw=(T, HP, WP), ref_len=REF, pose_len=POSE,
+              tile=(2, 2), window=window)
+    mask = sta_block_mask(S, (T, HP, WP), REF, POSE, (2, 2), window)
+    with pltpu.force_tpu_interpret_mode():
+        got, want = _grad_pair(
+            lambda q, k, v: sta_attention(q, k, v, **kw),
+            lambda q, k, v: _masked_dense(q, k, v, mask, scale), q, k, v)
+    for g, w_, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_sta_grads_windowed_pose_and_pose_kv():
+    """Gradient parity for the full production sparsity: windowed pose
+    queries + temporally windowed pose kv."""
+    rng = np.random.default_rng(13)
+    shp = (1, S2, 2, 128)
+    q, k, v = [jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3)]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    kw = dict(grid_thw=(T2, HP2, WP2), ref_len=REF, pose_len=POSE2,
+              tile=(2, 2), window=(2, 2), windowed_pose=True,
+              pose_kv_window=1)
+    mask = sta_block_mask(S2, (T2, HP2, WP2), REF, POSE2, (2, 2), (2, 2),
+                          windowed_pose=True, pose_kv_window=1)
+    with pltpu.force_tpu_interpret_mode():
+        got, want = _grad_pair(
+            lambda q, k, v: sta_attention(q, k, v, **kw),
+            lambda q, k, v: _masked_dense(q, k, v, mask, scale), q, k, v)
+    for g, w_, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
 @pytest.mark.slow
 def test_engine_sample_sta_matches_dense():
     """engine.sample with attn_impl='sta' (full-coverage window) ==

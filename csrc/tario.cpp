@@ -44,21 +44,38 @@ extern "C" {
 // Scan a tar file.  For each regular-file member, writes its payload
 // offset and size, and appends its NUL-terminated name to `names`.
 // Returns the member count, -1 on IO error, -2 if names_cap or
-// max_entries is too small.  Handles ustar name+prefix, GNU longname
-// ('L') and pax extended-header ('x', path= record) entries; skips
-// everything else that is not a regular file.
+// max_entries is too small, -3 if the archive is truncated mid-member
+// (short header, payload running past EOF, or missing end-of-archive
+// zero block) -- matching Python tarfile, which raises ReadError in the
+// same situations, so a damaged shard raises instead of silently
+// dropping samples (ADVICE r2).  Handles ustar name+prefix, GNU
+// longname ('L') and pax extended-header ('x', path= record) entries;
+// skips everything else that is not a regular file.
 int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
                  char* names, int64_t names_cap, int64_t max_entries) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    int64_t fsize = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
     char hdr[512];
     std::string longname;
     int64_t pax_size = -1;
     int64_t count = 0, names_used = 0;
-    while (std::fread(hdr, 1, 512, f) == 512) {
+    bool clean_end = false;
+    for (;;) {
+        size_t got = std::fread(hdr, 1, 512, f);
+        if (got == 0) {  // EOF exactly at a header boundary: tarfile
+            clean_end = true;  // tolerates a missing end marker here too
+            break;
+        }
+        if (got != 512) break;        // partial header: truncated
         bool empty = true;
         for (int i = 0; i < 512 && empty; ++i) empty = hdr[i] == 0;
-        if (empty) break;  // first of the two terminating zero blocks
+        if (empty) {  // first of the two terminating zero blocks
+            clean_end = true;
+            break;
+        }
         int64_t size = field_value(hdr + 124, 12);
         char type = hdr[156];
         if (type != 'x' && type != 'L' && pax_size >= 0) {
@@ -66,6 +83,9 @@ int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
             pax_size = -1;
         }
         int64_t payload = (size + 511) / 512 * 512;
+        // fseek past EOF "succeeds" on regular files, so bound-check the
+        // payload against the real file size before seeking over it
+        if (std::ftell(f) + payload > fsize) break;  // truncated member
         if (type == 'L') {  // GNU long name: payload is the real name
             if (size < 4096) {
                 std::string buf(size, '\0');
@@ -124,7 +144,7 @@ int64_t tar_scan(const char* path, int64_t* offsets, int64_t* sizes,
         if (std::fseek(f, payload, SEEK_CUR) != 0) break;
     }
     std::fclose(f);
-    return count;
+    return clean_end ? count : -3;
 }
 
 // pread a member payload.  Returns bytes read (== size on success),

@@ -261,24 +261,41 @@ class TarShardDataset:
         if idx is None:
             idx = self._index_cache[shard] = TarShardIndex(shard)
         q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
 
         def reader():
             try:
                 for i in range(len(idx)):
-                    q.put(idx.read_sample(i))
+                    item = idx.read_sample(i)
+                    # bounded put with a stop check: if the consumer
+                    # abandons the generator mid-shard (early stop,
+                    # islice), the thread exits instead of blocking on a
+                    # full queue forever and pinning the shard (ADVICE r2)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(None)
             except BaseException as e:  # surface in the consumer
                 q.put(e)
 
         t = threading.Thread(target=reader, daemon=True)
         t.start()
-        while True:
-            s = q.get()
-            if s is None:
-                break
-            if isinstance(s, BaseException):
-                raise s
-            yield self.process_fn(s)
+        try:
+            while True:
+                s = q.get()
+                if s is None:
+                    break
+                if isinstance(s, BaseException):
+                    raise s
+                yield self.process_fn(s)
+        finally:
+            # runs on generator close/GC too (GeneratorExit)
+            stop.set()
 
     def _iter_stream(self, shard):
         import tarfile

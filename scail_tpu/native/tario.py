@@ -45,7 +45,10 @@ def get_lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
-        if not os.path.exists(_OUT) and not _build():
+        src = os.path.abspath(_SRC)
+        stale = (os.path.exists(_OUT) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_OUT))
+        if (stale or not os.path.exists(_OUT)) and not _build():
             _LIB = False
             return None
         try:
@@ -95,6 +98,10 @@ def index_tar(path: str) -> List[Tuple[str, int, int]]:
             max_entries *= 4
             names_cap *= 4
             continue
+        if n == -3:
+            # same situation where tarfile raises ReadError: a damaged
+            # shard must fail loudly, not silently drop samples
+            raise OSError(f"truncated or corrupt tar: {path}")
         if n < 0:
             raise OSError(f"tar_scan failed for {path}")
         break

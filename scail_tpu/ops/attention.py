@@ -70,15 +70,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     """Online softmax in the log2 domain.
 
     The caller folds `scale * log2(e)` into q, so the hot loop is both
-    multiply-free (exp2 instead of scale+exp) and mask-free: kv padding is
-    zero-padded (padded columns contribute logit 0 and v=0, so they only
-    inflate the denominator) and corrected exactly at finalize by
-    subtracting n_pad * exp2(-m) from l.  This cuts the per-element VPU
-    work of the softmax, which is what bounds this kernel on v5e (the
-    MXU side runs at <70% with the masked variant).
+    multiply-free (exp2 instead of scale+exp) and mask-free on INTERIOR
+    blocks: kv padding is zero-padded and guaranteed to sit at the tail
+    of the LAST grid step(s), so only those steps pay an iota mask (one
+    where per pad block); every other block runs the branch-free body.
+    This keeps the per-element VPU work of the softmax minimal (which is
+    what bounds this kernel on v5e -- the MXU runs at <70% with a
+    fully-masked variant) while staying exact even in degenerate rows
+    where every real logit is far below 0 (the former finalize
+    correction `l - n_pad*exp2(-m)` cancelled catastrophically there --
+    ADVICE r2).
     """
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    bk = k_ref.shape[-2]
 
     @pl.when(ki == 0)
     def _init():
@@ -94,30 +99,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk), log2-domain logits
 
-    m_prev = m_ref[:, :1]  # (bq, 1)
-    l_prev = l_ref[:, :1]
-    m_curr = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - m_next)
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    def _body(s):
+        m_prev = m_ref[:, :1]  # (bq, 1)
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    if n_pad:
+        # pad occupies the global tail [skv_real, nk*bk); only steps at or
+        # past first_pad see any of it
+        skv_real = nk * bk - n_pad
+        first_pad = skv_real // bk
+
+        @pl.when(ki < first_pad)
+        def _interior():
+            _body(s)
+
+        @pl.when(ki >= first_pad)
+        def _tail():
+            col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            _body(jnp.where(col < skv_real, s, _NEG_INF))
+    else:
+        _body(s)
 
     @pl.when(ki == nk - 1)
     def _finalize():
         m = m_ref[:, :1]
         l = l_ref[:, :1]
-        if n_pad:
-            # padded columns contributed exactly exp2(0 - m_final) each
-            # (same computed value as below), so this cancels them exactly
-            l = l - n_pad * jnp.exp2(-m)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
         # natural-log lse for the backward pass / residuals
         lse_ref[0, 0] = _LN2 * m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
@@ -133,8 +152,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
     Returns (out (B, sq, d), lse (B, sq) fp32).  n_zero_cols: count of
     EXPLICIT zero kv columns already at the tail of k/v (callers that
     pass pre-padded buffers, e.g. the STA conditioning tail) -- they
-    contribute exp2(-m) each exactly like the internal block padding,
-    so one finalize correction cancels both."""
+    extend the internal block padding, so the kernel's tail-step mask
+    covers both."""
     B, sq, d = q.shape
     skv = k.shape[1]
     q = _prescale(q, scale)
@@ -398,10 +417,12 @@ def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, lse_ref,
                        acc_ref, m_ref, l_ref, *, n_pad):
     """int8-QK online softmax, log2-domain (scale*log2e folded into the qs
     row scales outside).  Padded kv columns carry ks=0 so their logits are
-    exactly 0 and v=0; the denominator is corrected at finalize like the
-    bf16 kernel."""
+    exactly 0 and v=0; like the bf16 kernel, only the tail step(s) holding
+    pad pay an iota mask, keeping degenerate all-negative-logit rows
+    exact."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    bk = k_ref.shape[-2]
 
     @pl.when(ki == 0)
     def _init():
@@ -419,27 +440,41 @@ def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     s = s_i32.astype(jnp.float32) * (qs * ks)  # log2-domain logits
 
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_curr = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - m_next)
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    def _body(s):
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    if n_pad:
+        skv_real = nk * bk - n_pad
+        first_pad = skv_real // bk
+
+        @pl.when(ki < first_pad)
+        def _interior():
+            _body(s)
+
+        @pl.when(ki >= first_pad)
+        def _tail():
+            col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            _body(jnp.where(col < skv_real, s, _NEG_INF))
+    else:
+        _body(s)
 
     @pl.when(ki == nk - 1)
     def _finalize():
         m = m_ref[:, :1]
         l = l_ref[:, :1]
-        if n_pad:
-            l = l - n_pad * jnp.exp2(-m)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
         lse_ref[0, 0] = _LN2 * m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
 
@@ -545,8 +580,9 @@ def _attention_pallas_int8(q, k, v, scale, block_q=1024, block_k=2048):
 # --------------------------------------------------------------------------
 def _dual_cross_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, o_ref,
                        *, n_pad1, n_pad2):
-    # q pre-scaled by scale*log2e; kv zero-padded, denominator corrected
-    # exactly (padded columns contribute exp2(0 - m) each and v=0)
+    # q pre-scaled by scale*log2e; kv zero-padded and masked with one iota
+    # where per stream (single-block softmax, so the mask is cheap and
+    # keeps degenerate all-negative-logit rows exact)
     q = q_ref[0]
 
     def one(k_ref, v_ref, n_pad):
@@ -554,11 +590,12 @@ def _dual_cross_kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, o_ref,
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < k.shape[0] - n_pad, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        if n_pad:
-            l = l - n_pad * jnp.exp2(-m)
         o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         return o / l

@@ -75,13 +75,18 @@ class CheckpointManager:
     (device->host transfer happens up front, serialization in a
     background thread).  The `latest` tracker is only advanced once the
     async write has committed, so a crash mid-save can never point
-    `latest` at a torn checkpoint.  Retention: keep the newest
-    `keep_last` iterations plus every multiple of `keep_every` (0 =
-    keep none by period), mirroring typical long-run GC policies.
+    `latest` at a torn checkpoint; the advance happens from a commit
+    thread as soon as the write lands (not deferred to the next save,
+    which used to lose one save interval if the process died in between
+    -- ADVICE r2).  Retention: keep the newest `keep_last` iterations
+    plus every multiple of `keep_every` (0 = keep none by period),
+    mirroring typical long-run GC policies.
     """
 
     def __init__(self, save_dir: str, keep_last: int = 3,
                  keep_every: int = 0, async_save: bool = True):
+        import threading
+
         self.save_dir = os.path.abspath(save_dir)
         self.keep_last = keep_last
         self.keep_every = keep_every
@@ -89,11 +94,14 @@ class CheckpointManager:
         self._state_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         self._ema_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         self._pending: Optional[tuple] = None  # (iteration, has_ema)
+        self._lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def save(self, iteration: int, state: Dict[str, Any],
              model_config: Optional[Dict] = None, ema_params=None):
-        self._finalize()  # order saves; advances tracker for the previous one
+        import threading
+
+        self._finalize()  # order saves (no-op if the commit thread ran)
         it_dir = os.path.join(self.save_dir, str(iteration))
         os.makedirs(self.save_dir, exist_ok=True)
         self._state_ckptr.save(os.path.join(it_dir, "state"), args=ocp.args.StandardSave(state), force=True)
@@ -105,19 +113,24 @@ class CheckpointManager:
             with open(os.path.join(self.save_dir, "model_config.json"), "w") as f:
                 json.dump(model_config, f, indent=2, default=str)
         self._pending = (iteration, ema_params is not None)
-        if not self.async_save:
+        if self.async_save:
+            # advance the tracker the moment the async write commits, so a
+            # crash between save intervals still resumes from this save
+            threading.Thread(target=self._finalize, daemon=True).start()
+        else:
             self._finalize()
 
     def _finalize(self):
-        if self._pending is None:
-            return
-        iteration, _ = self._pending
-        self._state_ckptr.wait_until_finished()
-        self._ema_ckptr.wait_until_finished()
-        with open(_tracker_path(self.save_dir), "w") as f:
-            f.write(str(iteration))
-        self._pending = None
-        self._gc()
+        with self._lock:
+            if self._pending is None:
+                return
+            iteration, _ = self._pending
+            self._state_ckptr.wait_until_finished()
+            self._ema_ckptr.wait_until_finished()
+            with open(_tracker_path(self.save_dir), "w") as f:
+                f.write(str(iteration))
+            self._pending = None
+            self._gc()
 
     def wait(self):
         """Block until the in-flight save (if any) has committed."""

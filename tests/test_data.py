@@ -158,3 +158,32 @@ def test_tar_shard_dataset_via_pipe(tmp_path):
     got = [next(it) for _ in range(3)]
     assert [g["txt"] for g in got] == [b"cap 0", b"cap 1", b"cap 2"]
     assert got[1]["bin"] == bytes([1] * 4)
+
+
+def test_tar_shard_prefetch_thread_exits_on_abandon(tmp_path):
+    """Abandoning the local-shard iterator mid-shard releases the
+    prefetch thread (it used to block forever on q.put — ADVICE r2)."""
+    import io
+    import tarfile
+    import threading
+    import time
+
+    from scail_tpu.data.datasets import TarShardDataset
+
+    p = tmp_path / "shard-000.tar"
+    with tarfile.open(p, "w") as tf:
+        for i in range(32):  # >> queue maxsize so the reader blocks
+            payload = bytes(64)
+            info = tarfile.TarInfo(f"{i:06d}.bin")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+    before = threading.active_count()
+    ds = TarShardDataset([str(p)], shuffle_shards=False)
+    it = iter(ds)
+    next(it)
+    it.close()  # triggers GeneratorExit -> finally -> stop event
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

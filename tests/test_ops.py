@@ -249,6 +249,29 @@ def test_attention_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(p, a, rtol=2e-4, atol=2e-4)
 
 
+def test_attention_pallas_degenerate_rows_exact(rng):
+    """Rows whose real logits are ALL far below zero, with kv padding
+    present: the former finalize denominator correction cancelled
+    catastrophically here (ADVICE r2); the tail-step mask is exact."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, n, d = 1, 130, 2, 128
+    u = rng.standard_normal((d,)).astype(np.float32)
+    u /= np.linalg.norm(u)
+    # every key strongly along +u, every query strongly along -u:
+    # all logits ~ -40 natural; kv length 130 forces 126 pad columns
+    # at block 256 in interpret... block picked internally; any pad works
+    k = jnp.asarray(np.tile(u * 16.0, (b, s, n, 1))
+                    + 0.05 * rng.standard_normal((b, s, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    q = jnp.asarray(np.tile(-u * 32.0, (b, s, n, 1))
+                    + 0.05 * rng.standard_normal((b, s, n, d)).astype(np.float32))
+    want = np.asarray(attention(q, k, v, impl="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(attention(q, k, v, impl="pallas"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_attention_int8_interpret_close_to_xla(rng):
     """int8-QK flash (interpret mode) tracks the exact computation to the
     quantization tolerance; lse finite; kv-padding masked correctly."""

@@ -109,3 +109,23 @@ def test_local_reader_surfaces_errors(tmp_path):
     with pytest.raises(OSError):
         for _ in ds:
             pass
+
+
+def test_truncated_tar_raises(tmp_path):
+    """A shard cut off mid-member raises (like tarfile's ReadError)
+    instead of silently returning a partial index (ADVICE r2)."""
+    p = tmp_path / "shard.tar"
+    _make_shard(p, n=4)
+    data = p.read_bytes()
+    # cut inside the last member's payload (tarfile pads archives to a
+    # 10KiB record, so cut relative to the member offset, not the end)
+    with tarfile.open(p) as tf:
+        last = tf.getmembers()[-1]
+    cut = last.offset_data + max(1, last.size // 2)
+    (tmp_path / "trunc.tar").write_bytes(data[:cut])
+    if tario.get_lib() is None:
+        pytest.skip("native tario unavailable")
+    with pytest.raises(OSError, match="truncated|corrupt"):
+        tario.index_tar(str(tmp_path / "trunc.tar"))
+    # intact shard still indexes fine
+    assert len(tario.index_tar(str(p))) == 8

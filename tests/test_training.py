@@ -185,6 +185,25 @@ def test_checkpoint_manager_async_gc(tmp_path):
                                np.asarray(state["w"]) + 4)
 
 
+def test_checkpoint_tracker_advances_without_next_save(tmp_path):
+    """The `latest` tracker advances once the async write commits, NOT
+    at the next save()/wait() — a crash between save intervals must not
+    lose a fully committed checkpoint (ADVICE r2)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from scail_tpu.training.checkpoint import CheckpointManager, read_latest
+
+    mgr = CheckpointManager(str(tmp_path), async_save=True)
+    mgr.save(3, {"w": jnp.ones((4,))})
+    deadline = time.monotonic() + 20.0
+    while read_latest(str(tmp_path)) != "3" and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert read_latest(str(tmp_path)) == "3"
+    mgr.close()
+
+
 def test_trainer_train_mask_freezes_leaves():
     """Trainer(train_mask=...) leaves masked-False params untouched while
     the trainable ones move (the LoRA/prefix selective-finetune contract

@@ -133,6 +133,39 @@ def install_stubs() -> None:
                         List=typing.List, Dict=typing.Dict)
             bt.typing = btt
 
+    # video_loss.py / magvit2_pytorch.py pull CUDA-era attention/filter
+    # packages; only importability matters (the math we golden-test —
+    # GeneralLPIPSWithDiscriminator, regularizers — never constructs them).
+    if "kornia" not in sys.modules:
+        try:
+            import kornia  # noqa: F401
+        except ImportError:
+            kf = _stub("kornia.filters", filter3d=lambda x, k, **kw: x)
+            _stub("kornia", filters=kf)
+
+    for _name, _cls in (("magvit2_pytorch.attend", "Attend"),
+                        ("gateloop_transformer", "SimpleGateLoopLayer"),
+                        ("taylor_series_linear_attention",
+                         "TaylorSeriesLinearAttn")):
+        if _name not in sys.modules:
+            try:
+                importlib.import_module(_name.split(".")[0])
+            except ImportError:
+                class _StubLayer(nn.Module):
+                    def __init__(self, *a, **k):
+                        super().__init__()
+
+                    def forward(self, x, *a, **k):
+                        return x
+
+                mod = _stub(_name, **{_cls: _StubLayer})
+                if "." in _name:
+                    parent = _stub(_name.split(".")[0])
+                    setattr(parent, _name.split(".")[1], mod)
+                    parent.version = _stub(
+                        _name.split(".")[0] + ".version",
+                        __version__="0.0-stub")
+
     if "ftfy" not in sys.modules:
         try:
             import ftfy  # noqa: F401

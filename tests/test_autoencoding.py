@@ -1,0 +1,503 @@
+"""VAE training stack: golden parity vs the ACTUAL reference torch
+modules (sgm/modules/autoencoding/regularizers/quantize.py,
+lookup_free_quantization.py, losses/discriminator_loss.py,
+lpips/model/model.py) plus adversarial-training smoke tests for the
+functional AutoencoderTrainer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import refmods
+
+torch = pytest.importorskip("torch")
+
+from scail_tpu.autoencoding import (  # noqa: E402
+    AutoencoderTrainer, LPIPSWithDiscriminator, VideoAutoencoderLoss,
+    diagonal_gaussian_regularizer, ema_vector_quantize, hinge_d_loss,
+    hinge_discr_loss, hinge_gen_loss, init_ema_quantizer, init_lfq,
+    init_nlayer_discriminator, init_video_discriminator,
+    init_vector_quantizer, lfq_quantize, measure_perplexity,
+    nlayer_discriminator, vanilla_d_loss, vector_quantize,
+    video_discriminator)
+from scail_tpu.autoencoding.discriminator import (  # noqa: E402
+    nlayer_discriminator_params_from_torch)
+from scail_tpu.autoencoding.gan_loss import pick_video_frame  # noqa: E402
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Regularizers
+# ---------------------------------------------------------------------------
+def test_diagonal_gaussian_golden(rng):
+    reg_mod = refmods.import_ref("sgm.modules.autoencoding.regularizers")
+    ref = reg_mod.DiagonalGaussianRegularizer(sample=False)
+    z_t = _t(rng.normal(size=(2, 8, 5, 5)))  # (b, 2c, h, w)
+    with torch.no_grad():
+        out_t, log_t = ref(z_t)
+    z_j = jnp.asarray(z_t.numpy().transpose(0, 2, 3, 1))
+    out_j, log_j = diagonal_gaussian_regularizer(z_j, sample=False)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(out_j), -1, 1),
+                               out_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(log_j["kl_loss"]),
+                               float(log_t["kl_loss"]), rtol=1e-5)
+
+
+def test_vector_quantizer_golden(rng):
+    qz = refmods.import_ref("sgm.modules.autoencoding.regularizers.quantize")
+    ref = qz.VectorQuantizer(n_e=32, e_dim=8, beta=0.25, log_perplexity=True)
+    z_np = rng.normal(size=(2, 8, 4, 4)).astype(np.float32) * 0.1
+    z_t = _t(z_np).requires_grad_(True)
+    zq_t, log_t = ref(z_t)
+
+    params = {"embedding": jnp.asarray(
+        ref.embedding.weight.detach().numpy())}
+    z_j = jnp.asarray(z_np.transpose(0, 2, 3, 1))
+    zq_j, log_j = vector_quantize(params, z_j, beta=0.25,
+                                  log_perplexity=True)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(zq_j), -1, 1),
+                               zq_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(log_j["loss/vq"]),
+                               float(log_t["loss/vq"]), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(log_j["min_encoding_indices"]).reshape(-1),
+        log_t["min_encoding_indices"].numpy().reshape(-1))
+    np.testing.assert_allclose(float(log_j["perplexity"]),
+                               float(log_t["perplexity"]), rtol=1e-5)
+
+    # straight-through gradient parity: d/dz of (loss + <z_q, g>)
+    g_np = rng.normal(size=z_np.shape).astype(np.float32)
+    (log_t["loss/vq"] + (zq_t * _t(g_np)).sum()).backward()
+
+    def scalar(z):
+        zq, log = vector_quantize(params, z, beta=0.25)
+        return log["loss/vq"] + jnp.sum(
+            zq * jnp.asarray(g_np.transpose(0, 2, 3, 1)))
+
+    gj = jax.grad(scalar)(z_j)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(gj), -1, 1),
+                               z_t.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_ema_vector_quantizer_golden(rng):
+    qz = refmods.import_ref("sgm.modules.autoencoding.regularizers.quantize")
+    ref = qz.EMAVectorQuantizer(n_embed=16, embedding_dim=6, beta=0.4,
+                                decay=0.9)
+    ref.train()
+    # .copy(): torch updates these buffers in place during forward, and
+    # jax's CPU asarray is zero-copy over the shared numpy view
+    state = {"weight": jnp.asarray(
+                 ref.embedding.weight.detach().numpy().copy()),
+             "cluster_size": jnp.asarray(
+                 ref.embedding.cluster_size.detach().numpy().copy()),
+             "embed_avg": jnp.asarray(
+                 ref.embedding.embed_avg.detach().numpy().copy())}
+    z_np = rng.normal(size=(2, 6, 4, 4)).astype(np.float32)
+    zq_t, log_t = ref(_t(z_np))
+
+    z_j = jnp.asarray(z_np.transpose(0, 2, 3, 1))
+    zq_j, log_j, new_state = ema_vector_quantize(state, z_j, beta=0.4,
+                                                 decay=0.9)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(zq_j), -1, 1),
+                               zq_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(log_j["loss/vq"]),
+                               float(log_t["loss/vq"]), rtol=1e-5)
+    np.testing.assert_allclose(float(log_j["perplexity"]),
+                               float(log_t["perplexity"]), rtol=1e-5)
+    # the EMA state update must match the torch buffer mutation
+    np.testing.assert_allclose(np.asarray(new_state["cluster_size"]),
+                               ref.embedding.cluster_size.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_state["embed_avg"]),
+                               ref.embedding.embed_avg.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["weight"]),
+                               ref.embedding.weight.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lfq_golden(rng):
+    lfq_mod = refmods.import_ref(
+        "sgm.modules.autoencoding.regularizers.lookup_free_quantization")
+    ref = lfq_mod.LFQ(dim=16, codebook_size=256)  # projections active
+    ref.train()
+    x_np = rng.normal(size=(2, 7, 16)).astype(np.float32)
+    x_t = _t(x_np).requires_grad_(True)
+    (q_t, idx_t, aux_t), bd_t = ref(x_t, return_loss_breakdown=True)
+
+    params = {
+        "project_in": {
+            "kernel": jnp.asarray(
+                ref.project_in.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.project_in.bias.detach().numpy())},
+        "project_out": {
+            "kernel": jnp.asarray(
+                ref.project_out.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.project_out.bias.detach().numpy())},
+    }
+    q_j, idx_j, aux_j, bd_j = lfq_quantize(params, jnp.asarray(x_np),
+                                           codebook_size=256)
+    np.testing.assert_allclose(np.asarray(q_j), q_t.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx_j), idx_t.numpy())
+    np.testing.assert_allclose(float(aux_j), float(aux_t), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(bd_j["per_sample_entropy"]),
+                               float(bd_t.per_sample_entropy), rtol=1e-4)
+    np.testing.assert_allclose(float(bd_j["batch_entropy"]),
+                               float(bd_t.batch_entropy), rtol=1e-4)
+    np.testing.assert_allclose(float(bd_j["commitment"]),
+                               float(bd_t.commitment), rtol=1e-4, atol=1e-7)
+
+    # straight-through grads through the projections + entropy/commit
+    g_np = rng.normal(size=q_t.shape).astype(np.float32)
+    (aux_t + (q_t * _t(g_np)).sum()).backward()
+
+    def scalar(x):
+        q, _, aux, _ = lfq_quantize(params, x, codebook_size=256)
+        return aux + jnp.sum(q * jnp.asarray(g_np))
+
+    gj = jax.grad(scalar)(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(gj), x_t.grad.numpy(),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_lfq_init_matches_reference_shapes():
+    params = init_lfq(jax.random.PRNGKey(0), dim=16, codebook_size=256)
+    assert params["project_in"]["kernel"].shape == (16, 8)
+    assert params["project_out"]["kernel"].shape == (8, 16)
+    # no projections when dim == log2(codebook_size)
+    assert init_lfq(jax.random.PRNGKey(0), codebook_size=256) == {}
+
+
+def test_measure_perplexity_uniform():
+    idx = jnp.arange(32) % 8
+    p, used = measure_perplexity(idx, 8)
+    np.testing.assert_allclose(float(p), 8.0, rtol=1e-5)
+    assert int(used) == 8
+
+
+# ---------------------------------------------------------------------------
+# Discriminators
+# ---------------------------------------------------------------------------
+def test_nlayer_discriminator_golden(rng):
+    mm = refmods.import_ref("sgm.modules.autoencoding.lpips.model.model")
+    ref = mm.NLayerDiscriminator(input_nc=3, ndf=16, n_layers=3,
+                                 use_actnorm=False).apply(mm.weights_init)
+    ref.train()  # train-mode BatchNorm = batch statistics
+    params = nlayer_discriminator_params_from_torch(
+        refmods.torch_state_dict_to_numpy(ref), n_layers=3)
+    x_np = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        y_t = ref(_t(x_np))
+    y_j = nlayer_discriminator(params, jnp.asarray(
+        x_np.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(y_j), -1, 1),
+                               y_t.numpy(), rtol=5e-4, atol=1e-4)
+
+
+def test_nlayer_discriminator_init_shapes():
+    params = init_nlayer_discriminator(jax.random.PRNGKey(0), input_nc=3,
+                                       ndf=16, n_layers=3)
+    y = nlayer_discriminator(params, jnp.zeros((2, 64, 64, 3)))
+    assert y.shape == (2, 6, 6, 1)  # 64 ->/2 8, then two k=4 s=1 p=1
+
+
+def test_video_discriminator_smoke(rng):
+    params = init_video_discriminator(jax.random.PRNGKey(0), dim=4,
+                                      image_size=16, frame_num=4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)), jnp.float32)
+    y = video_discriminator(params, x)
+    assert y.shape == (2,)
+    g = jax.grad(lambda p: jnp.sum(video_discriminator(p, x)))(params)
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms))
+
+
+def test_video_discriminator_2d_tail(rng):
+    # more 2D blocks than time halvings: t folds into batch mid-stack
+    params = init_video_discriminator(jax.random.PRNGKey(1), dim=4,
+                                      image_size=32, frame_num=2)
+    x = jnp.asarray(rng.normal(size=(1, 2, 32, 32, 3)), jnp.float32)
+    assert video_discriminator(params, x).shape == (1,)
+
+
+# ---------------------------------------------------------------------------
+# GAN losses vs the reference math
+# ---------------------------------------------------------------------------
+def _ref_disc_loss_module(monkeypatch, **kwargs):
+    dl = refmods.import_ref(
+        "sgm.modules.autoencoding.losses.discriminator_loss")
+
+    class _DummyLPIPS(torch.nn.Module):
+        def forward(self, a, b):
+            return torch.zeros(a.shape[0])
+
+    monkeypatch.setattr(dl, "LPIPS", _DummyLPIPS)
+    ref = dl.GeneralLPIPSWithDiscriminator(
+        disc_start=10, perceptual_weight=0.0, disc_in_channels=3,
+        disc_num_layers=2, **kwargs)
+    ref.train()
+    return ref
+
+
+@pytest.mark.parametrize("disc_loss", ["hinge", "vanilla"])
+def test_discriminator_step_golden(rng, monkeypatch, disc_loss):
+    """forward(optimizer_idx=1) — the full reference path."""
+    ref = _ref_disc_loss_module(monkeypatch, disc_loss=disc_loss,
+                                disc_factor=0.8)
+    params = nlayer_discriminator_params_from_torch(
+        refmods.torch_state_dict_to_numpy(ref.discriminator), n_layers=2)
+    x_np = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    r_np = (x_np + 0.3 * rng.normal(size=x_np.shape)).astype(np.float32)
+
+    loss_obj = LPIPSWithDiscriminator(disc_start=10, disc_factor=0.8,
+                                      disc_loss=disc_loss)
+    for step, active in ((3, False), (25, True)):
+        d_t, log_t = ref(_t(x_np), _t(r_np), regularization_log={},
+                         optimizer_idx=1, global_step=step,
+                         last_layer=None)
+        d_j, log_j = loss_obj.discriminator_loss(
+            params, jnp.asarray(x_np.transpose(0, 2, 3, 1)),
+            jnp.asarray(r_np.transpose(0, 2, 3, 1)), step)
+        np.testing.assert_allclose(float(d_j), float(d_t), rtol=1e-4,
+                                   atol=1e-6)
+        assert (float(d_j) != 0.0) == active
+        np.testing.assert_allclose(float(log_j["logits/real"]),
+                                   float(log_t["train/logits/real"]),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_generator_step_golden(rng, monkeypatch):
+    """optimizer_idx=0 math recomposed from the reference's own methods
+    (its forward's logging crashes on perceptual_weight=0 — a reference
+    bug: discriminator_loss.py:274 reads p_loss unconditionally)."""
+    ref = _ref_disc_loss_module(monkeypatch, disc_weight=0.7,
+                                regularization_weights={"kl_loss": 0.3})
+    params = nlayer_discriminator_params_from_torch(
+        refmods.torch_state_dict_to_numpy(ref.discriminator), n_layers=2)
+
+    cf = 5
+    feats_np = rng.normal(size=(2, cf, 32, 32)).astype(np.float32)
+    w_np = (rng.normal(size=(3, cf, 1, 1)) * 0.2).astype(np.float32)
+    x_np = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    kl_np = np.float32(rng.normal() ** 2)
+    logvar_np = np.float32(0.17)
+
+    # torch: recon through a 1x1-conv "last layer" w
+    w_t = _t(w_np).requires_grad_(True)
+    recon_t = torch.nn.functional.conv2d(_t(feats_np), w_t)
+    ref.logvar.data.fill_(float(logvar_np))
+    rec_loss_t = torch.abs(_t(x_np) - recon_t)
+    nll_t, weighted_nll_t = ref.get_nll_loss(rec_loss_t)
+    g_loss_t = -torch.mean(ref.discriminator(recon_t))
+    d_weight_t = ref.calculate_adaptive_weight(nll_t, g_loss_t,
+                                               last_layer=w_t)
+    expected = (weighted_nll_t + d_weight_t * ref.disc_factor * g_loss_t
+                + 0.3 * _t(kl_np))
+
+    # jax: same composition through generator_loss
+    def head_apply(w, feats):
+        return jax.lax.conv_general_dilated(
+            feats, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    w_j = jnp.asarray(w_np.transpose(2, 3, 1, 0))
+    feats_j = jnp.asarray(feats_np.transpose(0, 2, 3, 1))
+    recon_j = head_apply(w_j, feats_j)
+    loss_obj = LPIPSWithDiscriminator(
+        disc_start=10, disc_weight=0.7, perceptual_weight=0.0,
+        regularization_weights={"kl_loss": 0.3})
+    loss_j, log_j = loss_obj.generator_loss(
+        params, jnp.asarray(logvar_np),
+        jnp.asarray(x_np.transpose(0, 2, 3, 1)), recon_j,
+        {"kl_loss": jnp.asarray(kl_np)}, 25,
+        adaptive_ctx=(head_apply, w_j, feats_j))
+    np.testing.assert_allclose(float(log_j["scalars/d_weight"]),
+                               float(d_weight_t), rtol=1e-3)
+    np.testing.assert_allclose(float(log_j["loss/g"]), float(g_loss_t),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(log_j["loss/nll"]), float(nll_t),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(expected), rtol=1e-3)
+
+    # before disc_start the GAN term is off
+    loss_j0, log_j0 = loss_obj.generator_loss(
+        params, jnp.asarray(logvar_np),
+        jnp.asarray(x_np.transpose(0, 2, 3, 1)), recon_j,
+        {"kl_loss": jnp.asarray(kl_np)}, 3,
+        adaptive_ctx=(head_apply, w_j, feats_j))
+    np.testing.assert_allclose(float(log_j0["scalars/d_weight"]), 0.0)
+    np.testing.assert_allclose(
+        float(loss_j0), float(weighted_nll_t + 0.3 * _t(kl_np)), rtol=1e-4)
+
+
+def test_d_loss_zoo_golden(rng):
+    vq = refmods.import_ref("sgm.modules.autoencoding.lpips.vqperceptual")
+    lr = rng.normal(size=(4, 1, 7, 7)).astype(np.float32)
+    lf = rng.normal(size=(4, 1, 7, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(hinge_d_loss(jnp.asarray(lr), jnp.asarray(lf))),
+        float(vq.hinge_d_loss(_t(lr), _t(lf))), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(vanilla_d_loss(jnp.asarray(lr), jnp.asarray(lf))),
+        float(vq.vanilla_d_loss(_t(lr), _t(lf))), rtol=1e-5)
+    # video_loss.py:37-42 variants
+    np.testing.assert_allclose(
+        float(hinge_discr_loss(jnp.asarray(lf), jnp.asarray(lr))),
+        float(np.mean(np.maximum(0, 1 + lf) + np.maximum(0, 1 - lr))),
+        rtol=1e-5)
+    np.testing.assert_allclose(float(hinge_gen_loss(jnp.asarray(lf))),
+                               -float(np.mean(lf)), rtol=1e-5)
+
+
+def test_pick_video_frame(rng):
+    v = jnp.asarray(rng.normal(size=(3, 5, 4, 4, 2)), jnp.float32)
+    fi = jnp.asarray([0, 4, 2])
+    out = pick_video_frame(v, fi)
+    assert out.shape == (3, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(v[1, 4]))
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderTrainer end-to-end smoke
+# ---------------------------------------------------------------------------
+def _tiny_ae(key):
+    """conv encoder -> 2*cz moments, conv decoder body + 1x1 head."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    cz = 4
+
+    def conv(k, kh, cin, cout):
+        return {"kernel": jax.random.normal(
+            k, (kh, kh, cin, cout), jnp.float32) * (0.3 / np.sqrt(kh * kh * cin)),
+            "bias": jnp.zeros((cout,))}
+
+    enc = {"c1": conv(k1, 3, 3, 2 * cz)}
+    dec = {"c1": conv(k2, 3, cz, 8)}
+    head = conv(k3, 1, 8, 3)
+
+    def encoder_apply(p, x):
+        return jax.lax.conv_general_dilated(
+            x, p["c1"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["c1"]["bias"]
+
+    def decoder_body(p, z):
+        y = jax.lax.conv_general_dilated(
+            z, p["c1"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["c1"]["bias"]
+        return jax.nn.gelu(y)
+
+    def decoder_head(p, f):
+        return jax.lax.conv_general_dilated(
+            f, p["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"]
+
+    ae_params = {"encoder": enc, "decoder": dec, "decoder_head": head}
+    return encoder_apply, decoder_body, decoder_head, ae_params
+
+
+def test_autoencoder_trainer_adversarial_smoke(rng):
+    """Tiny KL-AE + PatchGAN: generator loss must drop, and the post-
+    disc_start discriminator step must move the disc params."""
+    key = jax.random.PRNGKey(0)
+    encoder_apply, decoder_body, decoder_head, ae_params = _tiny_ae(key)
+    disc_params = init_nlayer_discriminator(jax.random.PRNGKey(1),
+                                            input_nc=3, ndf=8, n_layers=1)
+
+    def regularizer(reg_params, z, k):
+        return diagonal_gaussian_regularizer(z, k, sample=True)
+
+    loss_obj = LPIPSWithDiscriminator(
+        disc_start=6, disc_weight=0.1,
+        perceptual_weight=0.0, regularization_weights={"kl_loss": 1e-6})
+    trainer = AutoencoderTrainer(
+        encoder_apply=encoder_apply, decoder_body=decoder_body,
+        decoder_head=decoder_head, loss=loss_obj, regularizer=regularizer,
+        disc_apply=nlayer_discriminator, disc_start=6, ae_lr=3e-3,
+        disc_lr=1e-3)
+    state = trainer.init_state(ae_params, disc_params)
+
+    batch = jnp.asarray(rng.uniform(-1, 1, size=(4, 16, 16, 3)),
+                        jnp.float32)
+    gen_step = jax.jit(trainer.generator_step, static_argnames="global_step")
+    disc_step = jax.jit(trainer.discriminator_step,
+                        static_argnames="global_step")
+
+    losses = []
+    for i in range(16):
+        k = jax.random.fold_in(key, i)
+        if i % 2 == 0 or i < 6:
+            state, loss, log = gen_step(state, batch, k, i)
+            losses.append(float(log["loss/nll"]))
+        else:
+            d0 = jax.tree.leaves(state["disc"])[0]
+            state, loss, log = disc_step(state, batch, k, i)
+            assert float(loss) > 0.0  # active past disc_start
+            assert not np.allclose(np.asarray(d0),
+                                   np.asarray(jax.tree.leaves(
+                                       state["disc"])[0]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_autoencoder_trainer_vq_codebook_trains(rng):
+    """A VQ regularizer under ae_params['regularizer'] gets optimizer
+    updates through the generator step (autoencoder.py:187-188)."""
+    key = jax.random.PRNGKey(2)
+    encoder_apply, decoder_body, decoder_head, ae_params = _tiny_ae(key)
+    # encoder emits 8 channels; VQ the full 8-dim vector (no KL split)
+    ae_params["regularizer"] = init_vector_quantizer(
+        jax.random.PRNGKey(3), n_e=16, e_dim=8)
+    disc_params = init_nlayer_discriminator(jax.random.PRNGKey(4),
+                                            input_nc=3, ndf=8, n_layers=1)
+
+    def regularizer(reg_params, z, k):
+        zq, log = vector_quantize(reg_params, z)
+        return zq[..., :4], log  # decoder body expects cz=4
+
+    loss_obj = LPIPSWithDiscriminator(
+        disc_start=10 ** 6, perceptual_weight=0.0,
+        regularization_weights={"loss/vq": 1.0})
+    trainer = AutoencoderTrainer(
+        encoder_apply=encoder_apply, decoder_body=decoder_body,
+        decoder_head=decoder_head, loss=loss_obj, regularizer=regularizer,
+        disc_apply=nlayer_discriminator, ae_lr=1e-3)
+    state = trainer.init_state(ae_params, disc_params)
+    batch = jnp.asarray(rng.uniform(-1, 1, size=(2, 8, 8, 3)), jnp.float32)
+    emb0 = np.asarray(state["gen"]["ae"]["regularizer"]["embedding"])
+    state, loss, log = trainer.train_step(state, batch, key, 0, 0)
+    assert np.isfinite(float(loss))
+    emb1 = np.asarray(state["gen"]["ae"]["regularizer"]["embedding"])
+    assert not np.allclose(emb0, emb1)
+
+
+def test_video_autoencoder_loss_smoke(rng):
+    """VideoAutoencoderLoss: gen + disc losses with the 3D GAN, R1
+    penalty, and quantizer aux all finite and gated correctly."""
+    disc_params = init_video_discriminator(jax.random.PRNGKey(0), dim=4,
+                                           image_size=16, frame_num=4)
+    loss_obj = VideoAutoencoderLoss(
+        disc_start=5, perceptual_weight=0.0,
+        adversarial_loss_weight=0.2, grad_penalty_loss_weight=10.0,
+        quantizer_aux_loss_weight=0.5)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 4, 16, 16, 3)), jnp.float32)
+    r = x + 0.1 * jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    total, log = loss_obj.generator_loss(
+        disc_params, x, r, 10, key=key, aux_losses=jnp.asarray(0.3))
+    assert np.isfinite(float(total))
+    assert float(log["gen_loss"]) != 0.0
+    # gated off before disc_start
+    _, log0 = loss_obj.generator_loss(
+        disc_params, x, r, 2, key=key, aux_losses=jnp.asarray(0.3))
+    np.testing.assert_allclose(float(log0["gen_loss"]), 0.0)
+
+    d_total, d_log = loss_obj.discriminator_loss(disc_params, x, r, 10)
+    assert np.isfinite(float(d_total))
+    assert float(d_log["grad_penalty_loss"]) > 0.0

@@ -10,7 +10,9 @@ prefetcher plays that role here).
 
 from __future__ import annotations
 
+import io
 import itertools
+import json
 import os
 import queue
 import threading
@@ -319,6 +321,125 @@ class TarShardDataset:
                 sample[ext] = tf.extractfile(member).read()
             if sample:
                 yield self.process_fn(dict(sample, __key__=key))
+
+
+def braceexpand(pattern: str) -> List[str]:
+    """Minimal brace expansion for shard patterns: numeric ranges
+    `{000..123}` (zero-padding preserved) and comma lists `{a,b}`,
+    recursively.  Covers the webdataset shard-url idiom the reference
+    gets from the braceexpand package (sat/data_utils/webds.py:260)."""
+    import re
+
+    m = re.search(r"\{([^{}]*)\}", pattern)
+    if not m:
+        return [pattern]
+    head, tail = pattern[:m.start()], pattern[m.end():]
+    body = m.group(1)
+    rng = re.fullmatch(r"(\d+)\.\.(\d+)", body)
+    if rng:
+        a, b = rng.group(1), rng.group(2)
+        width = len(a) if a.startswith("0") or len(a) == len(b) else 0
+        parts = [str(i).zfill(width) for i in range(int(a), int(b) + 1)]
+    else:
+        parts = body.split(",")
+    out: List[str] = []
+    for p in parts:
+        out.extend(braceexpand(head + p + tail))
+    return out
+
+
+def expand_shard_paths(path: str = "", include_dirs: Optional[str] = None) -> List[str]:
+    """Expand a brace pattern plus `dirA,dirB*3`-style include dirs into a
+    concrete shard list (MetaDistributedWebDataset.__init__,
+    webds.py:243-268: walk each dir for non-empty .tar files, an optional
+    `*n` suffix repeats a dir's shards n times for weighting).
+
+    The reference computes this on rank 0 and broadcasts (the os.walk
+    order is filesystem-dependent); here the walk is sorted, so every
+    host computes the identical list deterministically — no broadcast
+    needed on the jax.distributed side.
+    """
+    paths: List[str] = list(braceexpand(path)) if path else []
+    if include_dirs:
+        for spec in include_dirs.split(","):
+            n = 1
+            if "*" in spec:
+                spec, rep = spec.split("*")
+                n = int(rep)
+            found: List[str] = []
+            for cur, _dirs, files in sorted(os.walk(spec)):
+                for f in sorted(files):
+                    full = os.path.join(cur, f)
+                    if f.endswith("tar") and os.path.getsize(full) > 0:
+                        found.append(full)
+            paths.extend(found * n)
+    return paths
+
+
+class MetaTarShardDataset(TarShardDataset):
+    """Tar shards with sidecar metadata (MetaDistributedWebDataset,
+    sat/data_utils/webds.py:233-289): next to each `X.tar` an optional
+    `X.meta.jsonl` holds one JSON object per line with a 'key' field
+    matching the sample key; the requested `meta_names` fields are
+    injected into each matching sample before process_fn runs.
+    Malformed jsonl lines are skipped exactly like the reference
+    (webds.py:110-117)."""
+
+    def __init__(self, shard_paths: Sequence[str],
+                 process_fn: Callable = None, *,
+                 meta_names: Sequence[str] = (), **kw):
+        self.meta_names = list(meta_names)
+        self._meta: Dict[str, Dict[str, Any]] = {}
+        inner = process_fn or (lambda s: s)
+
+        def inject(sample):
+            md = self._meta.get(sample.get("__key__"), None)
+            if md:
+                for name in self.meta_names:
+                    if name in md:
+                        sample[name] = md[name]
+            return inner(sample)
+
+        super().__init__(shard_paths, inject, **kw)
+
+    @staticmethod
+    def meta_path_for(shard: str) -> str:
+        d, fname = os.path.split(shard)
+        return os.path.join(d, fname.split(".")[0] + ".meta.jsonl")
+
+    def _load_meta(self, shard: str) -> Dict[str, Dict[str, Any]]:
+        if not self.meta_names:
+            return {}
+        meta_path = self.meta_path_for(shard)
+        out: Dict[str, Dict[str, Any]] = {}
+        try:
+            if os.path.isfile(meta_path):
+                stream = open(meta_path, "r")
+            else:
+                from scail_tpu.data.gopen import gopen
+
+                stream = io.TextIOWrapper(gopen(meta_path))
+        except (OSError, ValueError):
+            return {}
+        with stream:
+            for line in stream:
+                try:
+                    item = json.loads(line)
+                except ValueError:
+                    continue  # skip malformed lines (webds.py:110-117)
+                entry = out.setdefault(item["key"], {})
+                for name in self.meta_names:
+                    if name in item:
+                        entry[name] = item[name]
+        return out
+
+    def __iter__(self):
+        for shard in itertools.cycle(self.shards):
+            self._meta = self._load_meta(shard)
+            if os.path.isfile(shard):
+                yield from self._iter_local(shard)
+            else:
+                yield from self._iter_stream(shard)
 
 
 def make_loaders(train_ds: Dataset, batch_size: int, *, valid_ds: Optional[Dataset] = None,

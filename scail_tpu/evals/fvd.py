@@ -45,13 +45,15 @@ class I3DFeatureExtractor:
       only relatively, for harness testing).
     """
 
-    def __init__(self, weights_path: Optional[str] = None, batch: int = 4):
+    def __init__(self, weights_path: Optional[str] = None, batch: int = 4,
+                 size: int = 224):
         import jax
 
         from scail_tpu.evals.i3d import (i3d_logits, init_i3d_params,
                                          load_i3d_params)
 
         self.batch = batch
+        self.size = size
         self._ts_model = None
         if weights_path is None:
             self.params = init_i3d_params(jax.random.PRNGKey(0))
@@ -70,7 +72,7 @@ class I3DFeatureExtractor:
 
     def __call__(self, videos01: np.ndarray, batch: Optional[int] = None) -> np.ndarray:
         batch = batch or self.batch
-        x = preprocess_for_i3d(videos01)
+        x = preprocess_for_i3d(videos01, size=self.size)
         feats = []
         for i in range(0, x.shape[0], batch):
             chunk = x[i : i + batch]
@@ -87,12 +89,13 @@ class I3DFeatureExtractor:
 
 def compute_fvd(real_videos01: np.ndarray, fake_videos01: np.ndarray,
                 i3d_path: Optional[str] = None,
-                features: Optional[tuple] = None) -> float:
+                features: Optional[tuple] = None,
+                i3d_size: int = 224) -> float:
     """Either pass raw videos (+ optional i3d weights; random-init smoke
     mode without them), or precomputed (real, fake) feature arrays."""
     if features is not None:
         return frechet_from_features(features[0], features[1])
-    extractor = I3DFeatureExtractor(i3d_path)
+    extractor = I3DFeatureExtractor(i3d_path, size=i3d_size)
     return frechet_from_features(extractor(real_videos01), extractor(fake_videos01))
 
 

@@ -112,14 +112,18 @@ def i3d_logits(params, videos):
             x = _maxpool_same(x, spec["k"], spec["s"])
         else:
             x = _inception_module(params[name], x, spec)
-    # AvgPool3d (2,7,7) stride 1, VALID (pytorch_i3d.py:276)
+    # AvgPool3d (2,7,7) stride 1, VALID (pytorch_i3d.py:276).  At the
+    # real 224px/16-frame geometry the feature map is exactly (2,7,7) so
+    # the window is exact; clamping keeps smoke-mode sizes well-defined
+    # (torch would raise there) without changing the 224 result.
+    win = (min(2, x.shape[1]), min(7, x.shape[2]), min(7, x.shape[3]))
     x = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, window_dimensions=(1, 2, 7, 7, 1),
-        window_strides=(1, 1, 1, 1, 1), padding="VALID") / (2.0 * 7 * 7)
+        x, 0.0, jax.lax.add, window_dimensions=(1, *win, 1),
+        window_strides=(1, 1, 1, 1, 1), padding="VALID") / float(np.prod(win))
     # logits Unit3D: 1x1x1 conv, bias, no bn, no act (pytorch_i3d.py:279-285)
     x = _unit3d(params["logits"], x, (1, 1, 1), bn=False, relu=False)
-    x = jnp.squeeze(x, axis=(2, 3))  # spatial squeeze
-    return jnp.mean(x, axis=1)       # time mean -> (b, 400)
+    x = jnp.mean(x, axis=(2, 3))  # spatial squeeze (size 1 at 224 input)
+    return jnp.mean(x, axis=1)    # time mean -> (b, 400)
 
 
 # ---------------------------------------------------------------------------

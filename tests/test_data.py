@@ -187,3 +187,104 @@ def test_tar_shard_prefetch_thread_exits_on_abandon(tmp_path):
     while threading.active_count() > before and time.monotonic() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+# ---------------------------------------------------------------------------
+# Meta-injected webdataset + shard-path expansion (webds.py:233-289)
+# ---------------------------------------------------------------------------
+def _write_tar(p, n=3):
+    import io
+    import tarfile
+
+    with tarfile.open(p, "w") as tf:
+        for i in range(n):
+            payload = f"caption {i}".encode()
+            info = tarfile.TarInfo(f"{i:06d}.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+
+def test_braceexpand():
+    from scail_tpu.data.datasets import braceexpand
+
+    assert braceexpand("s-{000..002}.tar") == [
+        "s-000.tar", "s-001.tar", "s-002.tar"]
+    assert braceexpand("{a,b}/{0..1}.tar") == [
+        "a/0.tar", "a/1.tar", "b/0.tar", "b/1.tar"]
+    assert braceexpand("plain.tar") == ["plain.tar"]
+
+
+def test_expand_shard_paths_include_dirs(tmp_path):
+    from scail_tpu.data.datasets import expand_shard_paths
+
+    (tmp_path / "A").mkdir()
+    (tmp_path / "B").mkdir()
+    _write_tar(tmp_path / "A" / "a0.tar")
+    _write_tar(tmp_path / "B" / "b0.tar")
+    (tmp_path / "B" / "empty.tar").write_bytes(b"")  # skipped: size 0
+    got = expand_shard_paths(
+        "", include_dirs=f"{tmp_path}/A,{tmp_path}/B*2")
+    assert got == [str(tmp_path / "A" / "a0.tar"),
+                   str(tmp_path / "B" / "b0.tar"),
+                   str(tmp_path / "B" / "b0.tar")]
+
+
+def test_meta_tar_shard_dataset(tmp_path):
+    import json
+
+    from scail_tpu.data.datasets import MetaTarShardDataset
+
+    p = tmp_path / "shard-000.tar"
+    _write_tar(p, n=3)
+    with open(tmp_path / "shard-000.meta.jsonl", "w") as f:
+        f.write(json.dumps({"key": "000000", "score": 0.5, "txt2": "x"}) + "\n")
+        f.write("NOT JSON {{{\n")  # malformed line: skipped (webds.py:110-117)
+        f.write(json.dumps({"key": "000002", "score": 0.9}) + "\n")
+
+    ds = MetaTarShardDataset([str(p)], meta_names=["score"],
+                             shuffle_shards=False)
+    items = [s for _, s in zip(range(3), iter(ds))]
+    assert items[0]["score"] == 0.5
+    assert "txt2" not in items[0]  # only requested meta_names injected
+    assert "score" not in items[1]  # no meta line for key 000001
+    assert items[2]["score"] == 0.9
+    # absent sidecar: samples flow through unchanged
+    p2 = tmp_path / "shard-001.tar"
+    _write_tar(p2, n=1)
+    ds2 = MetaTarShardDataset([str(p2)], meta_names=["score"],
+                              shuffle_shards=False)
+    (one,) = [s for _, s in zip(range(1), iter(ds2))]
+    assert one["txt"] == b"caption 0" and "score" not in one
+
+
+# ---------------------------------------------------------------------------
+# HF-datasets wrapper (sat/data_utils/hf_dataset.py:1-40)
+# ---------------------------------------------------------------------------
+def test_parse_huggingface_path():
+    from scail_tpu.data.hf_dataset import parse_huggingface_path
+
+    assert parse_huggingface_path("hf://glue/mrpc/test") == (
+        "glue", "mrpc", "test")
+    assert parse_huggingface_path("glue/*/validation") == (
+        "glue", None, "validation")
+    assert parse_huggingface_path("wikitext") == ("wikitext", None, "train")
+
+
+def test_load_hf_dataset_processed_cache(tmp_path):
+    """The processed-cache branch (hf_dataset.py:29-30) works offline:
+    a dataset saved at the derived path loads without touching the hub."""
+    import datasets as hfd
+
+    from scail_tpu.data.hf_dataset import load_hf_dataset
+
+    cache = tmp_path / "hfcache"
+    cache.mkdir()
+    ds = hfd.Dataset.from_dict({"ids": [[1, 2], [3, 4]], "y": [0, 1]})
+    ds.save_to_disk(str(cache / "fake_sub_train_tok.data"))
+
+    out = load_hf_dataset("hf://fake/sub/train", None, columns=["ids"],
+                          cache_dir=str(cache), transformer_name="tok")
+    assert len(out) == 2
+    row = out[0]
+    assert list(row.keys()) == ["ids"]
+    assert np.asarray(row["ids"]).tolist() == [1, 2]

@@ -134,3 +134,47 @@ def test_lpips_matches_torch_oracle():
     p2 = init_lpips_params(jax.random.PRNGKey(0))
     v2 = np.asarray(lpips(p2, jnp.asarray(x), jnp.asarray(y)))
     assert np.all(np.isfinite(v2)) and np.all(v2 >= 0)
+
+
+def test_fvd_sweep_matches_unsharded(tmp_path):
+    """dp-sharded sweep driver (eval/calculate_fvd_multiprocess.py
+    semantics) == the plain extractor on the same clips."""
+    from scail_tpu.evals.fvd import compute_fvd
+    from scail_tpu.evals.sweep import fvd_sweep
+
+    rng = np.random.default_rng(0)
+    real_dir, fake_dir = tmp_path / "real", tmp_path / "fake"
+    real_dir.mkdir(), fake_dir.mkdir()
+    reals, fakes = [], []
+    for i in range(4):
+        r = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+        f = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+        np.savez(real_dir / f"{i}.npz", frames=r)
+        np.savez(fake_dir / f"{i}.npz", frames=f)
+        reals.append(r.astype(np.float32) / 255.0)
+        fakes.append(f.astype(np.float32) / 255.0)
+
+    got = fvd_sweep(str(real_dir), str(fake_dir), num_frames=4,
+                    resolution=32, crop_size=32, batch=4, i3d_size=64)
+    want = compute_fvd(np.stack(reals), np.stack(fakes), i3d_size=64)
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+
+
+def test_fvd_sweep_preprocessing():
+    from scail_tpu.evals.sweep import (center_crop, sample_frames,
+                                       short_side_scale)
+
+    frames = np.arange(20 * 8 * 12 * 3, dtype=np.float32).reshape(20, 8, 12, 3)
+    # long clip: first num_frames*rate window, uniform stride
+    got = sample_frames(frames, num_frames=5, sample_rate=2)
+    assert got.shape[0] == 5
+    np.testing.assert_array_equal(got, frames[[0, 2, 4, 6, 9]])
+    # short clip: proportional count
+    short = sample_frames(frames[:6], num_frames=5, sample_rate=2)
+    assert short.shape[0] == 3
+    cropped = center_crop(frames, 6)
+    assert cropped.shape == (20, 6, 6, 3)
+    np.testing.assert_array_equal(cropped, frames[:, 1:7, 3:9])
+    scaled = short_side_scale(frames / 255.0, 4)
+    assert scaled.shape == (20, 4, 6, 3)

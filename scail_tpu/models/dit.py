@@ -46,7 +46,7 @@ from scail_tpu.models.common import (
     timestep_embedding,
     xavier_uniform,
 )
-from scail_tpu.ops.attention import attention
+from scail_tpu.ops.attention import attention, resolve_impl
 from scail_tpu.ops.norms import layer_norm, modulate, rms_norm
 from scail_tpu.ops.rotary import apply_rotary, build_scail_rope
 from scail_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
@@ -336,6 +336,36 @@ def _shard_tokens(x, mesh):
     )
 
 
+def _mesh_rowwise_attn(fn, mesh, q, *kvs):
+    """Run an attention call per-shard under a mesh: heads over 'model',
+    q tokens over 'seq', kv gathered (replicated over 'seq').
+
+    Exact for cross-attention (kv is short and replicated) AND as a
+    fallback for self-attention (each shard computes its q rows against
+    the full kv) — attention rows are independent.  Needed because the
+    Pallas flash kernels are opaque custom calls the SPMD partitioner
+    cannot split; without this the real-TPU multi-chip compile fails
+    ("Mosaic kernels cannot be automatically partitioned") — caught by
+    scripts/aot_14b_v5e8.py on the v5e-8 topology.  Falls back to the
+    plain call when shapes don't divide the mesh.
+    """
+    if mesh is None:
+        return fn(q, *kvs)
+    d = mesh.shape.get(DATA_AXIS, 1)
+    s = mesh.shape.get(SEQ_AXIS, 1)
+    m = mesh.shape.get(MODEL_AXIS, 1)
+    if d * s * m == 1:
+        return fn(q, *kvs)
+    if (q.shape[0] % d or q.shape[1] % s or q.shape[2] % m
+            or any(t.shape[2] % m for t in kvs)):
+        return fn(q, *kvs)
+    qspec = P(DATA_AXIS, SEQ_AXIS, MODEL_AXIS, None)
+    kvspec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(qspec,) + (kvspec,) * len(kvs),
+        out_specs=qspec, check_vma=False)(q, *kvs)
+
+
 def dit_forward(
     params,
     cfg: DiTConfig,
@@ -463,6 +493,21 @@ def dit_forward(
 
     n_heads = cfg.num_heads
 
+    # Dense single-shard self-attention on TPU: skip the XLA rotary
+    # pre-pass and let the flash kernel rotate the q/k tiles in VMEM
+    # (ops/attention.py fused-rope kernels; the per-segment table split in
+    # _apply_scail_rope is contiguous, so the full fused table applies
+    # identically).  Saves the q/k HBM round-trip per layer that the
+    # reference's triton rotary kernels also paid.
+    _mesh_trivial = mesh is None or all(
+        int(v) == 1 for v in dict(mesh.shape).values())
+    import os as _os
+
+    fused_rope_dense = (
+        not sta_resident and cfg.attn_impl != "ulysses" and _mesh_trivial
+        and resolve_impl(self_impl, hidden.shape[1]) == "pallas"
+        and not _os.environ.get("SCAIL_NO_FUSED_ROPE"))  # A/B escape hatch
+
     def layer_fn(hidden, lp):
         # AdaLN shift/scale/gate (dit:1020-1028)
         if cfg.share_adaln:
@@ -485,7 +530,7 @@ def dit_forward(
         if sta_resident:
             q = _rope_per_head(q, sta_cos, sta_sin, cfg.interleaved_rope)
             k = _rope_per_head(k, sta_cos, sta_sin, cfg.interleaved_rope)
-        else:
+        elif not fused_rope_dense:
             q = _apply_scail_rope(q, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
             k = _apply_scail_rope(k, rope, ref_len, seq_len, pose_len, cfg.interleaved_rope)
         if cfg.attn_impl == "ulysses" and mesh is not None:
@@ -526,8 +571,14 @@ def dit_forward(
                     out_specs=spec, check_rep=False)(q, k, v)
             else:
                 attn = _sta(q, k, v)
+        elif fused_rope_dense:
+            attn = attention(q, k, v, impl="pallas",
+                             rope=(rope.cos, rope.sin),
+                             rope_interleaved=cfg.interleaved_rope)
         else:
-            attn = attention(q, k, v, impl=self_impl)
+            attn = _mesh_rowwise_attn(
+                lambda a, bb, c: attention(a, bb, c, impl=self_impl),
+                mesh, q, k, v)
         attn = dense(lp["attn_out"], _merge_heads(attn))
         hidden = hidden + g_msa * attn
         hidden = _shard_tokens(hidden, mesh)
@@ -558,14 +609,18 @@ def dit_forward(
                 pk = rms_norm(pk, lp["clip_k_norm"]["scale"] if cfg.qk_ln_affine else None, eps=eps)
             from scail_tpu.ops.attention import dual_cross_attention
 
-            cross = dual_cross_attention(
-                cqh, _split_heads(ck, n_heads), _split_heads(cv, n_heads),
+            cross = _mesh_rowwise_attn(
+                lambda qq, k1, v1, k2, v2: dual_cross_attention(
+                    qq, k1, v1, k2, v2, impl=cross_impl),
+                mesh, cqh,
+                _split_heads(ck, n_heads), _split_heads(cv, n_heads),
                 _split_heads(pk, n_heads), _split_heads(pv, n_heads),
-                impl=cross_impl,
             )
         else:
-            cross = attention(cqh, _split_heads(ck, n_heads),
-                              _split_heads(cv, n_heads), impl=cross_impl)
+            cross = _mesh_rowwise_attn(
+                lambda qq, kk, vv: attention(qq, kk, vv, impl=cross_impl),
+                mesh, cqh, _split_heads(ck, n_heads),
+                _split_heads(cv, n_heads))
         hidden = hidden + dense(lp["cross_out"], _merge_heads(cross))
 
         # ---- MLP (dit:1044-1050); MoE dispatch when num_experts > 1

@@ -147,6 +147,38 @@ def _prescale(q, scale):
     return (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
 
+# --------------------------------------------------------------------------
+# Fused rotary: the DiT applies 3D RoPE to q/k right before self-attention
+# (ops/rotary.py; reference dit:668-746 + triton_rotary kernels).  Applying
+# it inside the flash kernel removes the q/k HBM round-trip between the
+# rotary elementwise pass and the attention custom call (the Pallas call
+# boundary forces materialization, and the qk RMS-norm reduction usually
+# breaks XLA's epilogue fusion anyway).  rotate_half is lane arithmetic:
+# interleaved (x0,x1)->(-x1,x0) is two lane rolls + a parity select;
+# non-interleaved halves-swap is one roll + a sign select.  Rotation is
+# linear, so it commutes with the scale*log2e prescale.
+# --------------------------------------------------------------------------
+def _kernel_rotate_half(x, interleaved):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    if interleaved:
+        # pltpu.roll only takes non-negative shifts; d-1 == -1 (mod d)
+        left = pltpu.roll(x, x.shape[-1] - 1, axis=x.ndim - 1)  # y[j] = x[j+1]
+        right = pltpu.roll(x, 1, axis=x.ndim - 1)               # y[j] = x[j-1]
+        return jnp.where(lane % 2 == 0, -left, right)
+    half = x.shape[-1] // 2
+    r = pltpu.roll(x, half, axis=x.ndim - 1)
+    return jnp.where(lane < half, -r, r)
+
+
+def _kernel_rope(x, cos, sin, interleaved):
+    """Forward rotary on a (block, d) tile.  Computed in f32: Mosaic's
+    lane rotate only supports 32-bit data ("Rotate with non-32-bit
+    data"), and the f32 trig products round once instead of twice —
+    strictly tighter than the unfused bf16 apply_rotary."""
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _kernel_rotate_half(xf, interleaved) * sin).astype(x.dtype)
+
+
 def _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
     """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed.
     Returns (out (B, sq, d), lse (B, sq) fp32).  n_zero_cols: count of
@@ -282,15 +314,29 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
+def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k,
+               dq_blocks=None, dkv_blocks=None):
+    """dq + dk/dv passes.  The two kernels iterate the grid in opposite
+    nesting (dq: q outer / kv inner; dkv: kv outer / q inner), so their
+    optimal tile shapes differ — dq_blocks/dkv_blocks override (bq, bk)
+    per kernel (scripts/bench_flash_bwd.py sweeps them; power-of-two
+    sizes only, so one shared padding to the max of each dim serves
+    both)."""
+    bq_dq, bk_dq = dq_blocks or (block_q, block_k)
+    bq_kv, bk_kv = dkv_blocks or (block_q, block_k)
+    pad_q = max(bq_dq, bq_kv)
+    pad_k = max(bk_dq, bk_kv)
+    assert pad_q % bq_dq == 0 == pad_q % bq_kv, (bq_dq, bq_kv)
+    assert pad_k % bk_dq == 0 == pad_k % bk_kv, (bk_dq, bk_kv)
+
     B, sq, d = q.shape
     skv = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B, sq)
     q = _prescale(q, scale)
     lse = lse * _LOG2E  # log2-domain for the exp2 kernels
 
-    pq = (-sq) % block_q
-    pk = (-skv) % block_k
+    pq = (-sq) % pad_q
+    pk = (-skv) % pad_k
     if pq:
         q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
         do = jnp.pad(do, ((0, 0), (0, pq), (0, 0)))
@@ -301,50 +347,272 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k):
     if pk:
         k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
-    nq = q.shape[1] // block_q
-    nk = k.shape[1] // block_k
 
-    qspec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+    qspec = pl.BlockSpec((1, bq_dq, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    q1spec = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+    q1spec = pl.BlockSpec((1, 1, bq_dq), lambda b, i, j: (b, 0, i),
                           memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+    kspec = pl.BlockSpec((1, bk_dq, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale),
-        grid=(B, nq, nk),
+        grid=(B, q.shape[1] // bq_dq, k.shape[1] // bk_dq),
         in_specs=[qspec, kspec, kspec, qspec, q1spec, q1spec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq_dq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
     )(q, k, v, do, lse, delta)
 
     # dk/dv: kv blocks in the second grid dim, q innermost
-    qspec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+    qspec2 = pl.BlockSpec((1, bq_kv, d), lambda b, j, i: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    q1spec2 = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
+    q1spec2 = pl.BlockSpec((1, 1, bq_kv), lambda b, j, i: (b, 0, i),
                            memory_space=pltpu.VMEM)
-    kspec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+    kspec2 = pl.BlockSpec((1, bk_kv, d), lambda b, j, i: (b, j, 0),
                           memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         _flash_dkv_kernel,
-        grid=(B, nk, nq),
+        grid=(B, k.shape[1] // bk_kv, q.shape[1] // bq_kv),
         in_specs=[qspec2, kspec2, kspec2, qspec2, q1spec2, q1spec2],
         out_specs=(kspec2, kspec2),
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
-        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
-                        pltpu.VMEM((block_k, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bk_kv, d), jnp.float32),
+                        pltpu.VMEM((bk_kv, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
     )(q, k, v, do, lse, delta)
 
     return dq[:, :sq], dk[:, :skv], dv[:, :skv]
+
+
+def _flash_rope_q_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref,
+                         o_ref, lse_ref, qr_ref, acc_ref, m_ref, l_ref,
+                         *, n_pad, interleaved):
+    """_flash_kernel with the rotary applied to the q tile in VMEM.
+
+    Q-SIDE ONLY, by measurement: the q tables' BlockSpec rides the qi
+    grid axis, so they are fetched once per q block (~nothing); k-side
+    tables would ride the INNERMOST ki axis and re-stream per grid step,
+    tripling the per-step DMA (3MB vs 1MB) and tipping the kernel from
+    MXU- to DMA-bound -- measured 8.74 s/step (66.1% MFU) vs 7.84
+    (73.7%) on the 512p workload.  So k arrives pre-roped from a plain
+    XLA pass (which its producer was paying anyway) and only the q-side
+    rotary pass is fused away.  Identical online-softmax body."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bk = k_ref.shape[-2]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        # rope the q tile ONCE per q block into scratch: recomputing it
+        # per inner kv step would multiply its VPU cost by nk (~24 at the
+        # 512p geometry) on a kernel whose softmax already loads the VPU
+        qr_ref[:] = _kernel_rope(q_ref[0], cq_ref[:], sq_ref[:], interleaved)
+
+    q = qr_ref[:]
+    k = k_ref[0]  # pre-roped outside
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def _body(s):
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    if n_pad:
+        skv_real = nk * bk - n_pad
+        first_pad = skv_real // bk
+
+        @pl.when(ki < first_pad)
+        def _interior():
+            _body(s)
+
+        @pl.when(ki >= first_pad)
+        def _tail():
+            col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            _body(jnp.where(col < skv_real, s, _NEG_INF))
+    else:
+        _body(s)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = _LN2 * m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+
+
+def _pad_rope_tables(cos, sin, length, dtype=jnp.float32):
+    """Cast to f32 (the in-kernel rope compute dtype) and zero-pad to
+    `length` rows (padded q/k rows are discarded / zero, so the table pad
+    value is irrelevant)."""
+    p = length - cos.shape[0]
+    cos = cos.astype(dtype)
+    sin = sin.astype(dtype)
+    if p:
+        cos = jnp.pad(cos, ((0, p), (0, 0)))
+        sin = jnp.pad(sin, ((0, p), (0, 0)))
+    return cos, sin
+
+
+def _flash_rope_fwd(q, k_roped, v, cos, sin, scale, interleaved,
+                    block_q, block_k):
+    """Self-attention forward with the q-side rotary fused into the flash
+    kernel; k_roped already carries its rotation (B = batch*heads
+    collapsed; the q tables broadcast over heads via a BlockSpec that
+    ignores the batch grid axis)."""
+    B, sq, d = q.shape
+    skv = k_roped.shape[1]
+    q = _prescale(q, scale)
+    pq = (-sq) % block_q
+    pk = (-skv) % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        k_roped = jnp.pad(k_roped, ((0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    cq, sq_t = _pad_rope_tables(cos, sin, q.shape[1])
+    nq = q.shape[1] // block_q
+    nk = k_roped.shape[1] // block_k
+
+    qtab = pl.BlockSpec((block_q, d), lambda b, qi, ki: (qi, 0),
+                        memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_rope_q_kernel, n_pad=pk,
+                          interleaved=interleaved),
+        grid=(B, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            qtab, qtab,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((q.shape[0], 1, q.shape[1]), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), q.dtype),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * q.shape[1] * k_roped.shape[1] * d,
+            bytes_accessed=(q.size + k_roped.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=B * q.shape[1] * k_roped.shape[1],
+        ),
+    )(q, k_roped, v, cq, sq_t)
+    return out[:, :sq], lse[:, 0, :sq]
+
+
+def _rope_bnsd(x, cos, sin, interleaved):
+    """XLA rotary on the collapsed (B, s, d) layout."""
+    from scail_tpu.ops.rotary import apply_rotary
+
+    return apply_rotary(x, cos, sin, interleaved)
+
+
+def _rope_t_bnsd(g, cos, sin, interleaved):
+    """XLA transpose rotary.  J = C + R S with R the (antisymmetric)
+    rotate_half map, so J^T = C - R S: multiply by sin FIRST, then
+    rotate.  (The tempting C - S R form only equals this when diag(sin)
+    commutes with R — true for the interleaved pair-repeat layout, false
+    for the non-interleaved 3-axis concat, whose halves-swap straddles
+    axis boundaries.)"""
+    from scail_tpu.ops.rotary import rotate_half
+
+    cos = cos.astype(g.dtype)
+    sin = sin.astype(g.dtype)
+    return g * cos - rotate_half(g * sin, interleaved)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention_rope_bnsd(q, k, v, cos, sin, scale, interleaved,
+                               block_q=1024, block_k=2048):
+    k_roped = _rope_bnsd(k, cos, sin, interleaved)
+    out, _ = _flash_rope_fwd(q, k_roped, v, cos, sin, scale, interleaved,
+                             block_q, block_k)
+    return out
+
+
+def _flash_rope_vjp_fwd(q, k, v, cos, sin, scale, interleaved,
+                        block_q, block_k):
+    from jax.ad_checkpoint import checkpoint_name
+
+    k_roped = _rope_bnsd(k, cos, sin, interleaved)
+    out, lse = _flash_rope_fwd(q, k_roped, v, cos, sin, scale, interleaved,
+                               block_q, block_k)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, k_roped, v, cos, sin, out, lse)
+
+
+def _flash_rope_vjp_bwd(scale, interleaved, block_q, block_k, res, do):
+    # the backward streams q S-times anyway, so the roped q is computed
+    # once in XLA here (same as the unfused path's residual); the exact
+    # bf16 kernels run unchanged and the q/k cotangents are pulled back
+    # through the transpose rotation in XLA (cheap elementwise).
+    q, k_roped, v, cos, sin, o, lse = res
+    q_roped = _rope_bnsd(q, cos, sin, interleaved)
+    dq_b, dkv_b = _tuned_bwd_blocks(q.shape[1], k_roped.shape[1])
+    dq_r, dk_r, dv = _flash_bwd(q_roped, k_roped, v, o, lse, do, scale,
+                                block_q, block_k, dq_b, dkv_b)
+    dq = _rope_t_bnsd(dq_r, cos, sin, interleaved)
+    dk = _rope_t_bnsd(dk_r, cos, sin, interleaved)
+    # the tables are position constants, never trained
+    return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+_flash_attention_rope_bnsd.defvjp(_flash_rope_vjp_fwd, _flash_rope_vjp_bwd)
+
+
+def _attention_pallas_rope(q, k, v, cos, sin, scale, interleaved,
+                           block_q=1024, block_k=2048):
+    b, sq, n, d = q.shape
+    skv = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * n, skv, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * n, skv, d)
+    ot = _flash_attention_rope_bnsd(qt, kt, vt, cos, sin, scale, interleaved,
+                                    block_q, block_k)
+    return ot.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -368,12 +636,27 @@ def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
     return out, (q, k, v, out, lse)
 
 
+def _tuned_bwd_blocks(sq, skv):
+    """Backward tile override, measured on v5e at the 48.8k-token
+    workload (scripts/bench_flash_bwd.py): (2048, 2048) beats the fwd's
+    (1024, 2048) for BOTH the dq and dk/dv passes (284.4 vs 288.6 ms,
+    +1.5%) -- the bwd kernels touch more operands per tile, so larger
+    tiles amortize better.  Only upgrades when the real geometry fills a
+    tile; short-KV cross attention keeps the caller's blocks (padding
+    512 text tokens up to 2048 would quadruple its bwd work)."""
+    if sq >= 2048 and skv >= 2048:
+        return (2048, 2048), (2048, 2048)
+    return None, None
+
+
 def _flash_vjp_bwd(scale, block_q, block_k, n_zero_cols, res, do):
     # explicit zero kv columns produce exact zero dq contributions and
     # garbage-free dk/dv (k=v=0 -> p*(dp-delta) finite, dv/dk land in
     # the caller-discarded pad region)
     q, k, v, o, lse = res
-    return _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k)
+    dq_b, dkv_b = _tuned_bwd_blocks(q.shape[1], k.shape[1])
+    return _flash_bwd(q, k, v, o, lse, do, scale, block_q, block_k,
+                      dq_b, dkv_b)
 
 
 _flash_attention_bnsd.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
@@ -554,7 +837,9 @@ def _flash_int8_vjp_fwd(q, k, v, scale, block_q, block_k):
 
 def _flash_int8_vjp_bwd(scale, block_q, block_k, res, do):
     q, k, v, o, lse = res
-    return _flash_bwd(q, k, v, o, lse, do, scale, block_q, min(block_k, 2048))
+    dq_b, dkv_b = _tuned_bwd_blocks(q.shape[1], k.shape[1])
+    return _flash_bwd(q, k, v, o, lse, do, scale, block_q,
+                      min(block_k, 2048), dq_b, dkv_b)
 
 
 _flash_attention_int8_bnsd.defvjp(_flash_int8_vjp_fwd, _flash_int8_vjp_bwd)
@@ -689,18 +974,40 @@ def _on_tpu() -> bool:
         return False
 
 
-def attention(q, k, v, *, scale: float = None, impl: str = "auto"):
+def resolve_impl(impl: str, seq_len: int) -> str:
+    """'auto' -> the impl attention() would pick for this seq length."""
+    if impl == "auto":
+        return "pallas" if _on_tpu() else ("xla" if seq_len <= 4096 else "chunked")
+    return impl
+
+
+def attention(q, k, v, *, scale: float = None, impl: str = "auto",
+              rope=None, rope_interleaved: bool = True):
     """Full bidirectional attention.
 
     q: (b, sq, n, d); k/v: (b, skv, n, d).  Returns (b, sq, n, d).
     scale defaults to 1/sqrt(d) (SDPA convention; the reference relies on
     torch SDPA's default scaling, sat/transformer_defaults.py:59-73).
     impl: 'auto' | 'xla' | 'chunked' | 'pallas'.
+    rope: optional (cos, sin) tables of shape (s, d), applied to q and k
+    before the scores.  On the pallas path the q-side rotation happens
+    INSIDE the flash kernel (saves q's rotary HBM round-trip; k is
+    pre-roped in XLA — see _flash_rope_q_kernel for why k-side fusion
+    loses) and as a plain pre-pass on every other impl — callers pass
+    un-roped q/k either way.
     """
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    if impl == "auto":
-        impl = "pallas" if _on_tpu() else ("xla" if q.shape[1] <= 4096 else "chunked")
+    impl = resolve_impl(impl, q.shape[1])
+    if rope is not None:
+        cos, sin = rope
+        if impl == "pallas" and q.shape[1] == k.shape[1]:
+            return _attention_pallas_rope(q, k, v, cos, sin, scale,
+                                          rope_interleaved)
+        from scail_tpu.ops.rotary import apply_rotary
+
+        q = apply_rotary(q, cos[:, None, :], sin[:, None, :], rope_interleaved)
+        k = apply_rotary(k, cos[:, None, :], sin[:, None, :], rope_interleaved)
     if impl == "xla":
         return _attention_xla(q, k, v, scale)
     if impl == "chunked":

@@ -257,6 +257,41 @@ def test_remat_save_attn_frac_matches(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_dit_pallas_fused_rope_matches_xla(rng):
+    """attn_impl='pallas' now skips the XLA rotary pre-pass and rotates
+    q/k inside the flash kernel (fused_rope_dense); output must match the
+    xla path, which still applies _apply_scail_rope outside — covering
+    the real 3-segment [ref|video|pose] tables through the fused kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+
+    kw = dict(hidden_size=32, num_layers=2, num_heads=4, inner_hidden_size=48,
+              time_embed_dim=32, text_dim=16, clip_dim=8, share_adaln=True,
+              use_i2v_clip=True, dtype="float32", interleaved_rope=True)
+    cfg_dense = DiTConfig(**kw, attn_impl="xla")
+    cfg_pl = DiTConfig(**kw, attn_impl="pallas")
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_dense)
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    x = jax.random.normal(ks[0], (1, 2, 16, 8, 8))
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(ks[1], (1, 8, 16))
+    ref = jax.random.normal(ks[2], (1, 1, 16, 8, 8))
+    smpl = jax.random.normal(ks[3], (1, 2, 16, 4, 4))
+    clip = jax.random.normal(ks[4], (1, 5, 8))
+
+    def run(cfg):
+        return dit_forward(params, cfg, x, t, ctx, ref_concat=ref,
+                           concat_smpl_render=smpl, image_clip_features=clip)
+
+    want = run(cfg_dense)
+    with pltpu.force_tpu_interpret_mode():
+        got = run(cfg_pl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dit_sta_impl_full_window_matches_dense(rng):
     """attn_impl='sta' with a window covering every tile == dense xla
     attention (same softmax sets); a sparse window runs and differs."""

@@ -208,6 +208,71 @@ def test_attention_pallas_vjp_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-4)
 
 
+def _rand_rope_tables(rng, s, d, interleaved):
+    """Random angles in the rotary rep() layout: pair-repeated
+    (interleaved) or per-table half-concat (non-interleaved)."""
+    ang = rng.standard_normal((s, d // 2)).astype(np.float32)
+    ang = (np.repeat(ang, 2, axis=-1) if interleaved
+           else np.concatenate([ang, ang], axis=-1))
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+
+@pytest.mark.parametrize("interleaved", [True, False])
+def test_attention_fused_rope_vjp_matches_unfused(rng, interleaved):
+    """Fused-rope flash kernels (rotary applied to q/k tiles in VMEM,
+    fwd + dq/dk/dv with the transpose-rotation pullback) == apply_rotary
+    then plain attention.  Multi-block grid with q/k padding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scail_tpu.ops.attention import _attention_pallas_rope
+    from scail_tpu.ops.rotary import apply_rotary
+
+    b, s, n, d = 1, 150, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    cos, sin = _rand_rope_tables(rng, s, d, interleaved)
+    w = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        qr = apply_rotary(q, cos[:, None, :], sin[:, None, :], interleaved)
+        kr = apply_rotary(k, cos[:, None, :], sin[:, None, :], interleaved)
+        return jnp.sum(w * attention(qr, kr, v, impl="xla"))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(w * _attention_pallas_rope(
+            q, k, v, cos, sin, 1.0 / np.sqrt(d), interleaved,
+            block_q=128, block_k=128))
+
+    want = float(loss_ref(q, k, v))
+    gref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = float(loss_fused(q, k, v))
+        gpl = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    for a, b_ in zip(gref, gpl):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_attention_rope_kwarg_unfused_path(rng):
+    """attention(rope=...) on a non-pallas impl applies the rotary as a
+    pre-pass — same contract as the fused kernel, so callers are
+    impl-agnostic."""
+    from scail_tpu.ops.rotary import apply_rotary
+
+    b, s, n, d = 1, 64, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, n, d)).astype(np.float32))
+    cos, sin = _rand_rope_tables(rng, s, d, True)
+    got = np.asarray(attention(q, k, v, impl="xla", rope=(cos, sin)))
+    qr = apply_rotary(q, cos[:, None, :], sin[:, None, :], True)
+    kr = apply_rotary(k, cos[:, None, :], sin[:, None, :], True)
+    want = np.asarray(attention(qr, kr, v, impl="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_dual_cross_attention_matches_sum(rng):
     from jax.experimental.pallas import tpu as pltpu
 

@@ -19,12 +19,18 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (the sitecustomize-pinned env "
+                         "var is otherwise ignored; cpu = run off-tunnel)")
     ap.add_argument("--real", required=True)
     ap.add_argument("--fake", required=True)
     ap.add_argument("--i3d", default=None,
                     help="i3d_pretrained_400.pt (JAX) or *torchscript.pt (torch)")
     ap.add_argument("--num", type=int, default=None)
     args = ap.parse_args()
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
 
     from scail_tpu.evals.fvd import I3DFeatureExtractor, load_video_dir
     from scail_tpu.evals.frechet import frechet_from_features

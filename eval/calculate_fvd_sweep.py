@@ -21,6 +21,9 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (the sitecustomize-pinned env "
+                         "var is otherwise ignored; cpu = run off-tunnel)")
     ap.add_argument("--real_video_dir", required=True)
     ap.add_argument("--generated_video_dir", required=True)
     ap.add_argument("--num_frames", type=int, default=16)
@@ -32,6 +35,9 @@ def main():
                     help="i3d_pretrained_400.pt (JAX) or *torchscript.pt (torch)")
     ap.add_argument("--max_videos", type=int, default=None)
     args = ap.parse_args()
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
 
     from scail_tpu.evals.sweep import fvd_sweep
 

@@ -16,11 +16,17 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (the sitecustomize-pinned env "
+                         "var is otherwise ignored; cpu = run off-tunnel)")
     ap.add_argument("--images", required=True)
     ap.add_argument("--clip-weights", default=None)
     ap.add_argument("--mlp", default=None,
                     help="LAION aesthetic MLP weights (.pth)")
     args = ap.parse_args()
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
 
     from PIL import Image
 

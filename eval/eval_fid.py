@@ -23,6 +23,9 @@ def _load_images(path):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (the sitecustomize-pinned env "
+                         "var is otherwise ignored; cpu = run off-tunnel)")
     ap.add_argument("mode", choices=["ref", "calc"])
     ap.add_argument("--images", required=True)
     ap.add_argument("--stats", required=True, help="ref-stats npz path")
@@ -30,6 +33,9 @@ def main():
                     help="pt_inception-2015-12-05*.pth (JAX) or EDM "
                          "torchscript; random-init smoke mode when omitted")
     args = ap.parse_args()
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
 
     from scail_tpu.evals.fid import (InceptionFeatureExtractor, fid_from_stats,
                                      save_ref_stats)

@@ -14,6 +14,9 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (the sitecustomize-pinned env "
+                         "var is otherwise ignored; cpu = run off-tunnel)")
     ap.add_argument("--images", required=True)
     ap.add_argument("--prompts", required=True)
     ap.add_argument("--hps-weights", default=None,
@@ -21,6 +24,9 @@ def main():
                          "HF-format CLIP state dict")
     ap.add_argument("--tokenizer", default=None)
     args = ap.parse_args()
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
 
     from PIL import Image
 

@@ -9,6 +9,7 @@ construction from `--mesh-seq/--mesh-model`.
 from __future__ import annotations
 
 import argparse
+import os
 from types import SimpleNamespace
 
 from scail_tpu.utils.config import load_configs, split_reference_config
@@ -49,8 +50,6 @@ def get_args(argv=None):
     if cli.platform:
         # must land before the first backend touch; the image's
         # sitecustomize pins JAX_PLATFORMS, so set the config too
-        import os
-
         import jax
 
         os.environ["JAX_PLATFORMS"] = cli.platform
@@ -97,8 +96,24 @@ def get_args(argv=None):
         sc = dict(model_cfg.get("sampler_config", {}))
         sc["params"] = dict(sc.get("params", {}), num_steps=cli.sampling_steps)
         model_cfg["sampler_config"] = sc
-    if cli.attn_impl is not None:
+    attn_impl = cli.attn_impl
+    if attn_impl is None and getattr(args, "load", None):
+        # weights-day gate (scripts/validate_weights.py): once the STA
+        # quality check passed for THIS checkpoint, turbo sampling
+        # becomes the default; --attn-impl always overrides
+        marker = os.path.join(str(args.load), "sta_validated.json")
+        try:
+            if os.path.isfile(marker):
+                import json
+
+                if json.load(open(marker)).get("validated"):
+                    attn_impl = "sta"
+                    print("[scail] sta_validated.json found: defaulting "
+                          "to attn_impl='sta' (override with --attn-impl)")
+        except (OSError, ValueError):
+            pass
+    if attn_impl is not None:
         nc = dict(model_cfg.get("network_config", {}))
-        nc["params"] = dict(nc.get("params", {}), attn_impl=cli.attn_impl)
+        nc["params"] = dict(nc.get("params", {}), attn_impl=attn_impl)
         model_cfg["network_config"] = nc
     return args, model_cfg

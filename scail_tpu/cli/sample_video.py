@@ -222,6 +222,18 @@ def sampling_main(args, model_config):
                 np.clip((meta["gt"][None] + 1) / 2, 0, 1),
                 samples,
             ]
+            # smoke overrides (--image-size / --sampling-num-frames) can
+            # shrink the sampled clip below the GT geometry; align every
+            # panel to the samples' (t, h, w) so the grid still stacks
+            t_min = min(e.shape[1] for e in save_list)
+            h_s, w_s = samples.shape[-2:]
+            save_list = [
+                e[:, :t_min] if e.shape[-2:] == (h_s, w_s)
+                else np.asarray(resize_bilinear(
+                    jnp.asarray(e[:, :t_min].reshape(-1, *e.shape[2:])),
+                    h_s, w_s)).reshape(e.shape[0], t_min, e.shape[2], h_s, w_s)
+                for e in save_list
+            ]
             save_multi_video_grid_and_mp4(
                 save_list, save_dir, fps=meta["driving_fps"], key=f"{case}_concat")
         print_rank0(f"saved {save_dir}")

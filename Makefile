@@ -1,6 +1,8 @@
 .PHONY: test test-all bench bench-e2e sample train-smoke synth-example
 
-# fast set (~4 min); full suite (test-all) takes ~15 min on CPU
+# fast set ~16 min / full suite ~30 min on the current 1-core host
+# (multi-core hosts are several times faster); run long suites via
+# `nohup make test-all > test.log &`
 test:
 	python -m pytest tests/ -q -m "not slow"
 

@@ -12,11 +12,15 @@ peak bf16 TFLOP/s of the chip) -- a hardware-portable figure of merit.
 
 The single available chip (v5e, 16GB) cannot hold 14B bf16 params, so the
 measured model is the 1.3B config (configs/video_model/scail_1p3b.yaml) at
-the identical sequence geometry; `extras` reports the derived sec/clip
-(50 Euler steps) for that model.
+the identical sequence geometry.  On TPU, `extras` additionally MEASURES
+the BASELINE.json north-star companions (train-step s/MFU via
+scripts/bench_train_step.run, VAE decode fps) in the same process — the
+tunnel is exclusive, so no subprocesses (memory: env quirks).  Set
+SCAIL_BENCH_FAST=1 to skip the extras.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -41,16 +45,10 @@ def _flops_per_forward(cfg, batch, S, s_txt, s_clip, T, Hp, Wp):
     return batch * (L * per_layer + patch)
 
 
-def main():
-    from scail_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
+def _bench_inference(on_tpu, dev):
+    from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
 
     if on_tpu:
-        from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
-
         cfg = DiTConfig(
             hidden_size=1536, num_layers=30, num_heads=12, inner_hidden_size=8960,
             time_embed_dim=1536, share_adaln=True, use_i2v_clip=True,
@@ -62,8 +60,6 @@ def main():
         label = "dit_1p3b_step_ms_512p"
     else:
         # CPU smoke fallback so the bench always emits a line
-        from scail_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
-
         cfg = DiTConfig(
             hidden_size=128, num_layers=2, num_heads=2, inner_hidden_size=256,
             time_embed_dim=128, text_dim=64, clip_dim=32, share_adaln=True,
@@ -110,24 +106,99 @@ def main():
     flops = _flops_per_forward(cfg, cb, S, s_txt, s_clip, T, Hp, Wp)
     tflops = flops / (step_ms / 1000.0) / 1e12
     mfu = tflops / peak_tflops
+    return label, step_ms, mfu, tflops, S
+
+
+def _bench_train_step():
+    """Measured train-step (1.3B, 48.8k tokens, remat save_attn_frac=0.7,
+    Adafactor) via the shared scripts/bench_train_step.run."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    import bench_train_step
+
+    args = argparse.Namespace(
+        iters=2, no_remat=False, frames=81, optimizer="adafactor",
+        mode="step", remat_policy="save_attn_frac", save_frac=0.7,
+        attn_impl=None)
+    rep = bench_train_step.run(args)
+    return {
+        "train_step_s": rep["value"],
+        "train_mfu_vs_peak": rep["vs_baseline"],
+        "train_tflops_3xfwd": rep["extras"]["achieved_tflops_3xfwd"],
+    }
+
+
+def _bench_vae_decode():
+    """Streamed WanVAE decode of the 512p latent (21x64x112 -> 81 frames
+    at 512x896); fps is the BASELINE.json north-star companion."""
+    from scail_tpu.models.wan_vae import (WanVAEConfig, init_wan_vae_params,
+                                          vae_decode)
+
+    vcfg = WanVAEConfig(dtype="bfloat16")
+    vparams = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                           init_wan_vae_params(jax.random.PRNGKey(1), vcfg))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 21, 16, 64, 112),
+                          jnp.bfloat16)
+
+    @jax.jit
+    def decode(vparams, z):
+        return vae_decode(vparams, vcfg, z, streamed=True)
+
+    vid = decode(vparams, z)
+    _ = np.asarray(vid[0, 0, 0, 0, :2])  # compile barrier
+    t0 = time.perf_counter()
+    vid = decode(vparams, z)
+    _ = np.asarray(vid[0, 0, 0, 0, :2])
+    t_dec = time.perf_counter() - t0
+    return {"vae_decode_s": round(t_dec, 2),
+            "vae_decode_fps": round(81 / t_dec, 2)}
+
+
+def main():
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+
+    label, step_ms, mfu, tflops, S = _bench_inference(on_tpu, dev)
+
+    extras = {
+        "seq_tokens": S,
+        "achieved_tflops": round(tflops, 1),
+        "mfu_vs_peak": round(mfu, 4),
+        "derived_sec_per_clip_50step": round(step_ms * 50 / 1000.0, 2),
+        # measured by scripts/bench_e2e.py on the r2 v5e chip (1.3B, 512p,
+        # 50 steps + streamed VAE decode); rerun bench_e2e to refresh
+        "r2_recorded_e2e_s_dense_1p3b": 397.1,
+        "r2_recorded_e2e_s_sta_1p3b": 240.7,
+        # measured by scripts/bench_14b_quant.py on the r2 chip (W4A16
+        # int4 weights, 8.6GB, one chip; per-CFG-half step)
+        "r2_recorded_14b_w4a16_step_s_cfg_half": 24.6,
+        "r2_recorded_14b_w4a16_sta_step_s_cfg_half": 18.1,
+        "device": str(dev),
+    }
+
+    if on_tpu and not os.environ.get("SCAIL_BENCH_FAST"):
+        # fail-soft: a flaky tunnel must not cost the primary metric
+        try:
+            extras.update(_bench_train_step())
+        except Exception as e:  # pragma: no cover - tunnel flake path
+            extras["train_step_error"] = repr(e)[:200]
+        try:
+            extras.update(_bench_vae_decode())
+        except Exception as e:  # pragma: no cover
+            extras["vae_decode_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": label,
         "value": round(step_ms, 2),
         "unit": "ms",
         "vs_baseline": round(mfu, 4),
-        "extras": {
-            "seq_tokens": S,
-            "achieved_tflops": round(tflops, 1),
-            "mfu_vs_peak": round(mfu, 4),
-            "derived_sec_per_clip_50step": round(step_ms * 50 / 1000.0, 2),
-            # constants recorded from scripts/bench_e2e.py runs on the r2
-            # v5e chip (1.3B, 512p, 50 steps + streamed VAE decode) --
-            # NOT re-measured by this script; rerun bench_e2e to refresh
-            "r2_recorded_e2e_s_dense_1p3b": 397.1,
-            "r2_recorded_e2e_s_sta_1p3b": 240.7,
-            "device": str(dev),
-        },
+        "extras": extras,
     }))
 
 

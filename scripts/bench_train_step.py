@@ -23,9 +23,6 @@ import numpy as np
 
 
 def main():
-    from scail_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-remat", action="store_true")
@@ -47,7 +44,15 @@ def main():
                     help="override the self-attention impl (e.g. 'sta' to "
                          "measure the windowed-VJP training step)")
     args = ap.parse_args()
+    print(json.dumps(run(args)))
 
+
+def run(args):
+    """Build + time the training step; returns the report dict (also used
+    by bench.py to fold a measured train-step number into its extras)."""
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import optax
 
     from scail_tpu.diffusion.denoiser import Denoiser
@@ -191,7 +196,7 @@ def main():
                  + 2 * S * h * h + 2 * S * 2 * h * inner)
     fwd = b * L * per_layer
     tflops = 3 * fwd / step_s / 1e12
-    print(json.dumps({
+    return {
         "metric": "dit_1p3b_train_step_s_512p" if on_tpu else "train_smoke_s",
         "value": round(step_s, 3),
         "unit": "s",
@@ -208,7 +213,7 @@ def main():
             "loss": float(loss),
             "device": str(dev),
         },
-    }))
+    }
 
 
 if __name__ == "__main__":

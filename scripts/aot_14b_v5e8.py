@@ -30,6 +30,13 @@ HBM_V5E = 16 * 1024**3  # bytes per v5e chip
 
 
 def main() -> int:
+    # the DEFAULT backend must stay off the (exclusive, sometimes down)
+    # TPU tunnel: eval_shape/PRNG touch it, while the 14B compile itself
+    # goes through the explicit chipless v5e topology description below
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform("cpu")
+
     import jax
     import jax.numpy as jnp
     import yaml

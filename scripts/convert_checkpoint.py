@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--model-yaml", default="configs/video_model/scail_14b.yaml")
     args = ap.parse_args()
 
+    # conversion is pure host work; don't touch (or block on) the
+    # exclusive TPU tunnel for it
+    from scail_tpu.utils.platform import force_platform
+
+    force_platform("cpu")
+
     import orbax.checkpoint as ocp
 
     from scail_tpu.convert.torch_ckpt import (

@@ -36,7 +36,7 @@ def test_aot_14b_v5e8_compiles_and_fits():
     env.pop("XLA_FLAGS", None)  # drop the virtual-CPU device forcing
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "aot_14b_v5e8.py")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3000)
     assert proc.returncode == 0, proc.stderr[-2000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["ok"]

@@ -51,7 +51,7 @@ def test_convert_checkpoint_roundtrip(tmp_path):
     out = subprocess.run(
         [sys.executable, "scripts/convert_checkpoint.py", str(src), str(dst),
          "--model-yaml", str(model_yaml)],
-        capture_output=True, text=True, env=env, timeout=300,
+        capture_output=True, text=True, env=env, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]

@@ -66,7 +66,7 @@ def _attention_chunked(q, k, v, scale, block_q: int = 512):
 # Pallas TPU flash attention (forward + custom VJP backward).
 # --------------------------------------------------------------------------
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                  *, n_pad):
+                  *, n_pad, softmax_dtype=jnp.float32):
     """Online softmax in the log2 domain.
 
     The caller folds `scale * log2(e)` into q, so the hot loop is both
@@ -105,8 +105,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        # the exp2 over the (bq, bk) tile is the kernel's VPU bottleneck
+        # (see ROADMAP "dense ceiling"); softmax_dtype=bf16 runs it at 2x
+        # lane rate for ~0.4% relative p error -- opt-in, measured via
+        # scripts/bench_attention.py --softmax-bf16
+        p = jnp.exp2((s - m_next).astype(softmax_dtype))
+        l_next = alpha * l_prev + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32)
 
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -179,7 +184,8 @@ def _kernel_rope(x, cos, sin, interleaved):
     return (xf * cos + _kernel_rotate_half(xf, interleaved) * sin).astype(x.dtype)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
+def _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0,
+               softmax_dtype=jnp.float32):
     """q: (B, sq, d); k/v: (B, skv, d) with B = batch*heads collapsed.
     Returns (out (B, sq, d), lse (B, sq) fp32).  n_zero_cols: count of
     EXPLICIT zero kv columns already at the tail of k/v (callers that
@@ -199,7 +205,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, n_zero_cols=0):
     nq = q.shape[1] // block_q
     nk = k.shape[1] // block_k
 
-    kernel = functools.partial(_flash_kernel, n_pad=pk + n_zero_cols)
+    kernel = functools.partial(_flash_kernel, n_pad=pk + n_zero_cols,
+                               softmax_dtype=softmax_dtype)
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, nq, nk),

@@ -40,9 +40,13 @@ def main():
     ap.add_argument("--bn", type=int, default=12)
     ap.add_argument("--blocks", default="512,1024,2048")
     ap.add_argument("--lib", action="store_true", help="also bench stock jax kernel")
+    ap.add_argument("--softmax-bf16", action="store_true",
+                    help="fwd-only: run the online-softmax exp2 in bf16 "
+                         "(2x VPU lane rate, ~0.4%% p error) — the "
+                         "ROADMAP dense-ceiling experiment")
     args = ap.parse_args()
 
-    from scail_tpu.ops.attention import _flash_attention_bnsd
+    from scail_tpu.ops.attention import _flash_attention_bnsd, _flash_fwd
 
     B, S, d = args.bn, args.seq, 128
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -55,10 +59,11 @@ def main():
     bwd_flops = 2.5 * fwd_flops          # 5 matmuls of the theoretical bwd
 
     blocks = [int(x) for x in args.blocks.split(",")]
+    sm_dtype = jnp.bfloat16 if args.softmax_bf16 else jnp.float32
     for bq in blocks:
         for bk in blocks:
-            fwd = jax.jit(lambda q, k, v: _flash_attention_bnsd(
-                q, k, v, scale, bq, bk))
+            fwd = jax.jit(lambda q, k, v: _flash_fwd(
+                q, k, v, scale, bq, bk, softmax_dtype=sm_dtype)[0])
             t_f = timeit(fwd, q, k, v)
 
             def loss(q, k, v):

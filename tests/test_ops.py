@@ -337,6 +337,28 @@ def test_attention_pallas_degenerate_rows_exact(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_attention_bf16_softmax_close_to_exact(rng):
+    """Opt-in bf16 online softmax (the ROADMAP dense-ceiling experiment):
+    exp2 at 2x VPU lane rate must track the exact kernel to the bf16
+    mantissa bound (~0.4% relative on p; tighter after the /l
+    normalization)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scail_tpu.ops.attention import _flash_fwd
+
+    B, s, d = 2, 300, 64
+    q = jnp.asarray(rng.standard_normal((B, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, s, d)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        want, _ = _flash_fwd(q, k, v, 0.125, 128, 128)
+        got, _ = _flash_fwd(q, k, v, 0.125, 128, 128,
+                            softmax_dtype=jnp.bfloat16)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    denom = np.abs(np.asarray(want)) + 1e-2
+    assert float((err / denom).mean()) < 6e-3, float((err / denom).mean())
+
+
 def test_attention_int8_interpret_close_to_xla(rng):
     """int8-QK flash (interpret mode) tracks the exact computation to the
     quantization tolerance; lse finite; kv-padding masked correctly."""

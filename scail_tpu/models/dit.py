@@ -96,6 +96,13 @@ class DiTConfig:
     #   19.9s/43.5%.
     remat_policy: str = "default"
     remat_save_frac: float = 0.7
+    # shard the inter-layer hidden states (= the remat carries) over the
+    # model axis too: 14B pod training's dominant live tensor is the
+    # 40-layer carry stack (9.3 GB at seq=2), which otherwise replicates
+    # the 5120-wide hidden on every TP chip.  XLA inserts the per-layer
+    # all-gather at the qkv/mlp entry; off for inference (the gather is
+    # pure overhead when memory fits).
+    shard_activations: bool = False
     attn_impl: str = "auto"
     # attn_impl='sta' knobs: strip tiles of (sta_tile[0] latent frames,
     # sta_tile[1] latent rows, full width); clamped window in tiles.
@@ -158,6 +165,7 @@ class DiTConfig:
             remat=p.get("remat", False),
             remat_policy=p.get("remat_policy", "default"),
             remat_save_frac=p.get("remat_save_frac", 0.7),
+            shard_activations=p.get("shard_activations", False),
             sta_tile=tuple(p.get("sta_tile", (3, 8))),
             sta_window=tuple(p.get("sta_window", (3, 2))),
             sta_windowed_pose=p.get("sta_windowed_pose", True),
@@ -326,13 +334,14 @@ def _rope_per_head(x, cos, sin, interleaved):
     return apply_rotary(x, cos[None, :, None, :], sin[None, :, None, :], interleaved)
 
 
-def _shard_tokens(x, mesh):
+def _shard_tokens(x, mesh, shard_hidden: bool = False):
     if mesh is None:
         return x
     from jax.sharding import NamedSharding
 
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, None))
+        x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS,
+                                 MODEL_AXIS if shard_hidden else None))
     )
 
 
@@ -444,7 +453,7 @@ def dit_forward(
     )  # (b, (T+1)*Hp*Wp, h)
     pose_tokens = _patchify_tokens(pose, params["patch_embed"]["proj_pose"], cfg.patch_size)
     hidden = jnp.concatenate([vid_tokens, pose_tokens], axis=1)
-    hidden = _shard_tokens(hidden, mesh)
+    hidden = _shard_tokens(hidden, mesh, cfg.shard_activations)
 
     ref_len = Hp * Wp
     seq_len = T * Hp * Wp
@@ -503,9 +512,17 @@ def dit_forward(
         int(v) == 1 for v in dict(mesh.shape).values())
     import os as _os
 
+    # 'auto' impls resolve against the TARGET platform: the mesh's when
+    # one is given (AOT lowering runs with a CPU default backend while
+    # targeting a TPU topology — the production kernels must still win),
+    # else the default backend's
+    import numpy as _np
+
+    _platform = (_np.asarray(mesh.devices).flat[0].platform
+                 if mesh is not None else None)
     fused_rope_dense = (
         not sta_resident and cfg.attn_impl != "ulysses" and _mesh_trivial
-        and resolve_impl(self_impl, hidden.shape[1]) == "pallas"
+        and resolve_impl(self_impl, hidden.shape[1], _platform) == "pallas"
         and not _os.environ.get("SCAIL_NO_FUSED_ROPE"))  # A/B escape hatch
 
     def layer_fn(hidden, lp):
@@ -577,11 +594,12 @@ def dit_forward(
                              rope_interleaved=cfg.interleaved_rope)
         else:
             attn = _mesh_rowwise_attn(
-                lambda a, bb, c: attention(a, bb, c, impl=self_impl),
+                lambda a, bb, c: attention(a, bb, c, impl=self_impl,
+                                           platform=_platform),
                 mesh, q, k, v)
         attn = dense(lp["attn_out"], _merge_heads(attn))
         hidden = hidden + g_msa * attn
-        hidden = _shard_tokens(hidden, mesh)
+        hidden = _shard_tokens(hidden, mesh, cfg.shard_activations)
 
         # ---- dual cross attention, no adaln modulation/gate (dit:1038-1042)
         ci = layer_norm(hidden, eps=eps)
@@ -611,14 +629,16 @@ def dit_forward(
 
             cross = _mesh_rowwise_attn(
                 lambda qq, k1, v1, k2, v2: dual_cross_attention(
-                    qq, k1, v1, k2, v2, impl=cross_impl),
+                    qq, k1, v1, k2, v2, impl=cross_impl,
+                    platform=_platform),
                 mesh, cqh,
                 _split_heads(ck, n_heads), _split_heads(cv, n_heads),
                 _split_heads(pk, n_heads), _split_heads(pv, n_heads),
             )
         else:
             cross = _mesh_rowwise_attn(
-                lambda qq, kk, vv: attention(qq, kk, vv, impl=cross_impl),
+                lambda qq, kk, vv: attention(qq, kk, vv, impl=cross_impl,
+                                             platform=_platform),
                 mesh, cqh, _split_heads(ck, n_heads),
                 _split_heads(cv, n_heads))
         hidden = hidden + dense(lp["cross_out"], _merge_heads(cross))
@@ -635,7 +655,7 @@ def dit_forward(
         else:
             mo = dense(lp["mlp_out"], gelu_tanh(dense(lp["mlp_in"], mi)))
         hidden = hidden + g_mlp * mo
-        hidden = _shard_tokens(hidden, mesh)
+        hidden = _shard_tokens(hidden, mesh, cfg.shard_activations)
         return hidden, None
 
     if cfg.remat:

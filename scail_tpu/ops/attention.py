@@ -962,13 +962,17 @@ _dual_cross_tpu.defvjp(_dual_cross_vjp_fwd, _dual_cross_vjp_bwd)
 
 
 def dual_cross_attention(q, k1, v1, k2, v2, *, scale: float = None,
-                         impl: str = "auto"):
+                         impl: str = "auto", platform: str = None):
     """attention(q,k1,v1) + attention(q,k2,v2) with both softmaxes fused into
-    one kernel on TPU (the DiT's summed text+CLIP cross attention)."""
+    one kernel on TPU (the DiT's summed text+CLIP cross attention).
+    platform: see resolve_impl — the naive-XLA fallback materializes
+    (b, n, 48832, 512) f32 logits in the backward (24 GB at 14B), so
+    'auto' must not mis-resolve under AOT lowering."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "xla"
+        on_tpu = (platform == "tpu") if platform else _on_tpu()
+        impl = "pallas" if on_tpu else "xla"
     if impl == "pallas":
         return _dual_cross_tpu(q, k1, v1, k2, v2, scale)
     return _dual_cross_reference(q, k1, v1, k2, v2, scale)
@@ -981,15 +985,21 @@ def _on_tpu() -> bool:
         return False
 
 
-def resolve_impl(impl: str, seq_len: int) -> str:
-    """'auto' -> the impl attention() would pick for this seq length."""
+def resolve_impl(impl: str, seq_len: int, platform: str = None) -> str:
+    """'auto' -> the impl attention() would pick for this seq length.
+    platform overrides the default-backend probe — REQUIRED when lowering
+    for a device mesh whose platform differs from the default backend
+    (AOT compiles force the default to CPU while targeting a TPU
+    topology; auto must still pick the production kernels there)."""
     if impl == "auto":
-        return "pallas" if _on_tpu() else ("xla" if seq_len <= 4096 else "chunked")
+        on_tpu = (platform == "tpu") if platform else _on_tpu()
+        return "pallas" if on_tpu else ("xla" if seq_len <= 4096 else "chunked")
     return impl
 
 
 def attention(q, k, v, *, scale: float = None, impl: str = "auto",
-              rope=None, rope_interleaved: bool = True):
+              rope=None, rope_interleaved: bool = True,
+              platform: str = None):
     """Full bidirectional attention.
 
     q: (b, sq, n, d); k/v: (b, skv, n, d).  Returns (b, sq, n, d).
@@ -1005,7 +1015,7 @@ def attention(q, k, v, *, scale: float = None, impl: str = "auto",
     """
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    impl = resolve_impl(impl, q.shape[1])
+    impl = resolve_impl(impl, q.shape[1], platform)
     if rope is not None:
         cos, sin = rope
         if impl == "pallas" and q.shape[1] == k.shape[1]:

@@ -27,7 +27,7 @@ from scail_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 
 def ulysses_attention(q, k, v, mesh, *, scale=None, impl: str = "auto",
-                      attn_fn=None):
+                      attn_fn=None, platform: str = None):
     """q/k/v: logically-global (b, S, n, d); returns (b, S, n, d).
 
     Must be called under jit with `mesh`; the all_to_all happens on the
@@ -39,7 +39,11 @@ def ulysses_attention(q, k, v, mesh, *, scale=None, impl: str = "auto",
     from scail_tpu.ops.attention import attention
 
     if attn_fn is None:
-        attn_fn = lambda a, b, c: attention(a, b, c, scale=scale, impl=impl)
+        # platform: 'auto' must resolve against the MESH's target (AOT
+        # lowering runs with a CPU default backend) — see resolve_impl
+        platform = platform or mesh.devices.flat[0].platform
+        attn_fn = lambda a, b, c: attention(a, b, c, scale=scale, impl=impl,
+                                            platform=platform)
     seq = mesh.shape[SEQ_AXIS]
     if seq == 1:
         return attn_fn(q, k, v)

@@ -33,9 +33,20 @@ def main() -> int:
     # the DEFAULT backend must stay off the (exclusive, sometimes down)
     # TPU tunnel: eval_shape/PRNG touch it, while the 14B compile itself
     # goes through the explicit chipless v5e topology description below
+    import argparse
+
     from scail_tpu.utils.platform import force_platform
 
     force_platform("cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--topology", default="v5e:2x4",
+                    help="PJRT topology name (v5e:2x4 = the 8-chip "
+                         "serving pod; v5e:4x4 = the 16-chip long-video "
+                         "config, BASELINE #5)")
+    ap.add_argument("--mesh", default="1,2,4", metavar="D,S,M",
+                    help="data,seq,model mesh over the topology devices")
+    args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -48,8 +59,12 @@ def main() -> int:
     from scail_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
     from scail_tpu.parallel.sharding import specs_for_tree
 
-    topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
-    devs = np.array(topo.devices).reshape(1, 2, 4)
+    md, ms, mm = (int(x) for x in args.mesh.split(","))
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name=args.topology)
+    assert len(topo.devices) == md * ms * mm, (
+        f"mesh {args.mesh} != {len(topo.devices)} devices of {args.topology}")
+    devs = np.array(topo.devices).reshape(md, ms, mm)
     mesh = Mesh(devs, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
     with open("configs/video_model/scail_14b.yaml") as f:
@@ -118,7 +133,8 @@ def main() -> int:
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(params_struct))
     report = {
         "ok": True,
-        "mesh": {"data": 1, "seq": 2, "model": 4},
+        "topology": args.topology,
+        "mesh": {"data": md, "seq": ms, "model": mm},
         "n_params": n_params,
         "collectives": counts,
         "per_device_bytes": per_dev,

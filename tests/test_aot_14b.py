@@ -28,17 +28,22 @@ def _tpu_plugin_available() -> bool:
             os.environ.get("TPU_LIBRARY_PATH"))
 
 
+def _run_aot(extra, timeout=3000):
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env.pop("XLA_FLAGS", None)  # drop the virtual-CPU device forcing
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "aot_14b_v5e8.py")]
+        + extra,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 @pytest.mark.slow
 def test_aot_14b_v5e8_compiles_and_fits():
     if not _tpu_plugin_available():
         pytest.skip("TPU compiler plugin not importable on this host")
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    env.pop("XLA_FLAGS", None)  # drop the virtual-CPU device forcing
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "aot_14b_v5e8.py")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=3000)
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    report = _run_aot([])
     assert report["ok"]
     # ~14.3B parameters — the real released architecture, not a toy
     assert report["n_params"] > 14e9
@@ -53,3 +58,64 @@ def test_aot_14b_v5e8_compiles_and_fits():
     # everything live fits the 16 GB v5e HBM with headroom for the driver
     assert report["fits"], report
     assert report["live_bytes"] < 0.85 * report["hbm_budget_bytes"], report
+
+
+def _run_aot_train(extra, timeout=3000):
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "aot_14b_train.py")]
+        + extra,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_aot_14b_train_full_ft_32_chips():
+    """Full 14B fine-tuning (RF loss + bwd + Adafactor) compile-fits a
+    v5e:4x8 pod at mesh (2,2,8) with model-sharded remat carries
+    (shard_activations); docs/MULTICHIP.md 'Training (pods)'."""
+    if not _tpu_plugin_available():
+        pytest.skip("TPU compiler plugin not importable on this host")
+    report = _run_aot_train(
+        ["--topology", "v5e:4x8", "--mesh", "2,2,8", "--attn-impl",
+         "pallas", "--remat-policy", "default", "--shard-activations"])
+    assert report["ok"] and report["fits"], report
+    assert report["live_bytes"] < 0.9 * report["hbm_budget_bytes"], report
+    # grad reduction (DP) + TP reductions + rowwise gathers must appear
+    assert report["collectives"]["all-reduce"] >= 1
+    assert report["collectives"]["all-gather"] >= 1
+
+
+@pytest.mark.slow
+def test_aot_14b_lora_finetune_16_chips():
+    """LoRA finetune (the reference's finetune path, lora2.py) fits the
+    16-chip pod: base-weight grads are stop_gradient'd symbolic zeros,
+    so only adapter grads/optimizer state cost memory."""
+    if not _tpu_plugin_available():
+        pytest.skip("TPU compiler plugin not importable on this host")
+    report = _run_aot_train(
+        ["--topology", "v5e:4x4", "--mesh", "1,4,4", "--attn-impl",
+         "pallas", "--remat-policy", "default", "--shard-activations",
+         "--lora", "16"])
+    assert report["ok"] and report["fits"], report
+
+
+@pytest.mark.slow
+def test_aot_14b_v5e16_long_video_mesh():
+    """BASELINE config #5: the 16-chip long-video layout.  Ulysses
+    shards heads over seq x model, so 40 heads admit (2,2,4) — the CFG
+    batch halves ride the data axis — but NOT (1,4,4) (40 % 16 != 0).
+    RFSamplerLong keeps the per-tile DiT geometry constant, so checking
+    this mesh on the standard forward validates the layout."""
+    if not _tpu_plugin_available():
+        pytest.skip("TPU compiler plugin not importable on this host")
+    report = _run_aot(["--topology", "v5e:4x4", "--mesh", "2,2,4"])
+    assert report["ok"] and report["mesh"] == {"data": 2, "seq": 2, "model": 4}
+    assert report["collectives"]["all-to-all"] >= 2, report["collectives"]
+    # same TP degree (4) -> same ~7 GB/chip weights; the extra data/seq
+    # shards only shrink activations
+    arg = report["per_device_bytes"]["argument"]
+    assert 6.0e9 < arg < 9.0e9, arg
+    assert report["fits"], report

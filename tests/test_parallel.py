@@ -77,6 +77,22 @@ def test_sharded_dit_forward_matches_single_device(rng):
     got = np.asarray(run(sp, xin))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
+    # shard_activations (model-sharded remat carries, the 14B pod-training
+    # layout -- scripts/aot_14b_train.py) is numerically a pure layout
+    # change: identical output
+    import dataclasses
+
+    cfg_sa = dataclasses.replace(cfg, shard_activations=True)
+
+    @jax.jit
+    def run_sa(p, x):
+        return dit_forward(p, cfg_sa, x, ts, ctx, ref_concat=ref,
+                           concat_smpl_render=pose, image_clip_features=clip,
+                           mesh=mesh)
+
+    got_sa = np.asarray(run_sa(sp, xin))
+    np.testing.assert_allclose(got_sa, want, rtol=5e-4, atol=5e-4)
+
 
 @pytest.mark.slow
 def test_engine_sharded_sampling(rng):

@@ -42,6 +42,11 @@ def build_argparser():
                    help=">0 enables LoRA finetuning of the DiT")
     p.add_argument("--mesh-seq", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--shard-activations", action="store_true",
+                   help="shard inter-layer hidden states (remat carries) "
+                        "over the model axis — required for the 14B "
+                        "full-FT pod fit (docs/MULTICHIP.md, "
+                        "scripts/aot_14b_train.py)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed init from env "
                         "(COORDINATOR_ADDRESS / WORLD_SIZE / RANK), each "
@@ -60,6 +65,11 @@ def main(argv=None):
         initialize_distributed()
     cfg = load_configs(args.base)
     _, model_cfg = split_reference_config(cfg)
+    if args.shard_activations:
+        model_cfg = dict(model_cfg)
+        nc = dict(model_cfg.get("network_config", {}))
+        nc["params"] = dict(nc.get("params", {}), shard_activations=True)
+        model_cfg["network_config"] = nc
 
     from scail_tpu.data.datasets import VideoPoseDataset, make_loaders
     from scail_tpu.engine import VideoDiffusionEngine

@@ -114,7 +114,10 @@ def dp_sharded_features(extractor, clips01: Sequence[np.ndarray], *,
         n_real = chunk.shape[0]
         if n_real % n_dev:
             pad = (-n_real) % n_dev
-            chunk = np.concatenate([chunk, chunk[:pad]])
+            # wrap-around repeat: pad can exceed n_real (1 clip on 8
+            # devices needs 7 pad rows)
+            idx = np.arange(n_real + pad) % n_real
+            chunk = chunk[idx]
         x = preprocess_for_i3d(chunk, size=extractor.size)
         if extractor._ts_model is not None:
             # torchscript flavour runs on host — no dp sharding

@@ -39,6 +39,8 @@ import shutil
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -92,6 +94,27 @@ def collect_gt(cases, dst):
             if f.endswith((".mp4", ".gif")):
                 shutil.copy(f, os.path.join(dst, f"{n:04d}_" + os.path.basename(f)))
                 n += 1
+    return n
+
+
+def extract_middle_frames(video_dir, dst):
+    """Middle frame of each video as PNG (for the CLIP-score stage);
+    imageio only — the orchestrator never imports jax."""
+    import imageio.v2 as imageio
+
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(video_dir)):
+        if not f.endswith((".mp4", ".gif")):
+            continue
+        try:
+            frames = imageio.mimread(os.path.join(video_dir, f), memtest=False)
+        except Exception:
+            continue
+        if frames:
+            imageio.imwrite(os.path.join(dst, f + ".png"),
+                            np.asarray(frames[len(frames) // 2])[..., :3])
+            n += 1
     return n
 
 
@@ -214,12 +237,13 @@ def main(argv=None):
         report["stages"][f"fvd_{mode}"] = {"rc": r.returncode,
                                            "value": fvd[mode]}
 
-    # CLIP score needs frames: reuse the dense sample dirs' saved grids if
-    # any .png/.jpg landed; otherwise skip (video-only outputs)
-    img_dir = results["dense"]
-    imgs = [f for f in os.listdir(img_dir) if f.endswith((".png", ".jpg"))]
+    # CLIP score runs on frames: pull the middle frame of every dense
+    # output video (eval/eval_clip_score.py scores image dirs, matching
+    # the reference's frame-dump workflow)
+    img_dir = os.path.join(args.out, "frames_dense")
+    n_frames = extract_middle_frames(results["dense"], img_dir)
     clip_score = None
-    if imgs:
+    if n_frames:
         pf = os.path.join(args.out, "clip_prompts.txt")
         with open(pf, "w") as f:
             for _, prompt in cases:

@@ -160,6 +160,13 @@ def test_fvd_sweep_matches_unsharded(tmp_path):
     assert np.isfinite(got)
     np.testing.assert_allclose(got, want, rtol=2e-2)
 
+    # fewer clips than devices: the pad wraps around (1 clip on the
+    # 8-device mesh needs 7 repeat rows) and pad features are dropped
+    got1 = fvd_sweep(str(real_dir), str(fake_dir), num_frames=4,
+                     resolution=32, crop_size=32, batch=8, i3d_size=64,
+                     max_videos=1)
+    assert np.isfinite(got1)
+
 
 def test_fvd_sweep_preprocessing():
     from scail_tpu.evals.sweep import (center_crop, sample_frames,

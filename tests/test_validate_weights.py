@@ -115,4 +115,6 @@ def test_validate_weights_smoke_end_to_end(tmp_path):
     assert report["stages"]["sample_sta"]["videos"] >= 1
     assert report["smoke"] is True
     assert report["fvd_dense"] is not None and report["fvd_sta"] is not None
+    # clip stage runs on extracted middle frames (random-init smoke)
+    assert report["clip_score"] is not None
     assert "sta_validated" in report

@@ -208,12 +208,21 @@ class DataLoader:
                 if stop.is_set():
                     return
                 try:
-                    q.put(self.collate_fn([self.dataset[i] for i in batch_idx]))
+                    batch = self.collate_fn([self.dataset[i] for i in batch_idx])
                 except Exception as e:  # skip corrupt samples, keep training
                     from scail_tpu.utils.logging import print_rank0
 
                     print_rank0(f"dataloader: skipping batch {batch_idx}: {e}",
                                 "warning")
+                    continue
+                # stop-aware bounded put: an abandoned iterator (early
+                # stop) must not strand the thread on a full queue
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -243,8 +252,13 @@ class TarShardDataset:
         self.shards = self.shards[rank::world_size]
         self.process_fn = process_fn or (lambda s: s)
 
+    def _begin_shard(self, shard: str) -> None:
+        """Per-shard hook before iteration (MetaTarShardDataset loads its
+        sidecar metadata here)."""
+
     def __iter__(self):
         for shard in itertools.cycle(self.shards):
+            self._begin_shard(shard)
             if os.path.isfile(shard):
                 yield from self._iter_local(shard)
             else:
@@ -265,25 +279,29 @@ class TarShardDataset:
         q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put with a stop check: if the consumer abandons the
+            # generator mid-shard (early stop, islice), the thread exits
+            # instead of blocking on a full queue forever and pinning the
+            # shard (ADVICE r2).  Applies to EVERY put — the end sentinel
+            # and exception paths block just the same when the queue is
+            # full at shard end.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def reader():
             try:
                 for i in range(len(idx)):
-                    item = idx.read_sample(i)
-                    # bounded put with a stop check: if the consumer
-                    # abandons the generator mid-shard (early stop,
-                    # islice), the thread exits instead of blocking on a
-                    # full queue forever and pinning the shard (ADVICE r2)
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(idx.read_sample(i)):
                         return
-                q.put(None)
+                put_or_stop(None)
             except BaseException as e:  # surface in the consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=reader, daemon=True)
         t.start()
@@ -364,13 +382,13 @@ def expand_shard_paths(path: str = "", include_dirs: Optional[str] = None) -> Li
         for spec in include_dirs.split(","):
             n = 1
             if "*" in spec:
-                spec, rep = spec.split("*")
+                spec, rep = spec.rsplit("*", 1)
                 n = int(rep)
             found: List[str] = []
             for cur, _dirs, files in sorted(os.walk(spec)):
                 for f in sorted(files):
                     full = os.path.join(cur, f)
-                    if f.endswith("tar") and os.path.getsize(full) > 0:
+                    if f.endswith(".tar") and os.path.getsize(full) > 0:
                         found.append(full)
             paths.extend(found * n)
     return paths
@@ -405,7 +423,9 @@ class MetaTarShardDataset(TarShardDataset):
     @staticmethod
     def meta_path_for(shard: str) -> str:
         d, fname = os.path.split(shard)
-        return os.path.join(d, fname.split(".")[0] + ".meta.jsonl")
+        # strip only the final extension: 'clips.v2-000.tar' must map to
+        # 'clips.v2-000.meta.jsonl', not 'clips.meta.jsonl'
+        return os.path.join(d, os.path.splitext(fname)[0] + ".meta.jsonl")
 
     def _load_meta(self, shard: str) -> Dict[str, Dict[str, Any]]:
         if not self.meta_names:
@@ -427,19 +447,16 @@ class MetaTarShardDataset(TarShardDataset):
                     item = json.loads(line)
                 except ValueError:
                     continue  # skip malformed lines (webds.py:110-117)
+                if not isinstance(item, dict) or "key" not in item:
+                    continue  # same skip for well-formed-but-keyless JSON
                 entry = out.setdefault(item["key"], {})
                 for name in self.meta_names:
                     if name in item:
                         entry[name] = item[name]
         return out
 
-    def __iter__(self):
-        for shard in itertools.cycle(self.shards):
-            self._meta = self._load_meta(shard)
-            if os.path.isfile(shard):
-                yield from self._iter_local(shard)
-            else:
-                yield from self._iter_stream(shard)
+    def _begin_shard(self, shard: str) -> None:
+        self._meta = self._load_meta(shard)
 
 
 def make_loaders(train_ds: Dataset, batch_size: int, *, valid_ds: Optional[Dataset] = None,

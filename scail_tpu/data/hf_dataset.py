@@ -34,7 +34,15 @@ def load_hf_dataset(path: str, process_fn: Optional[Callable] = None, *,
                     rebuild: bool = False):
     """Load + preprocess an HF dataset with a processed-cache
     (hf_dataset.py:21-40).  Returns a datasets.Dataset in numpy format."""
+    if offline:
+        # must land BEFORE `import datasets` (the env var is read into a
+        # module constant at import time); set the config too in case the
+        # caller already imported it
+        os.environ["HF_DATASETS_OFFLINE"] = "1"
     import datasets
+
+    if offline:
+        datasets.config.HF_DATASETS_OFFLINE = True
 
     name, sub, split = parse_huggingface_path(path)
     cache_dir = os.path.expanduser(cache_dir)
@@ -48,8 +56,6 @@ def load_hf_dataset(path: str, process_fn: Optional[Callable] = None, *,
     if processed_path and os.path.exists(processed_path) and not rebuild:
         ds = datasets.load_from_disk(processed_path)
     else:
-        if offline:
-            os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
         ds = datasets.load_dataset(
             name, sub, cache_dir=cache_dir, split=split,
             download_config=datasets.DownloadConfig(max_retries=20))

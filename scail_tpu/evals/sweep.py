@@ -82,6 +82,12 @@ def _load_clip(path: str, num_frames: int, sample_rate: int,
     frames, _ = load_video_frames(path)
     frames01 = frames.astype(np.float32) / 255.0
     frames01 = sample_frames(frames01, num_frames, sample_rate)
+    if frames01.shape[0] < num_frames:
+        # short clips take the proportional subsample (reference policy,
+        # kept above) then pad by repeating the last frame so every clip
+        # stacks to one (num_frames, H, W, 3) batch for the dp shard
+        pad = np.repeat(frames01[-1:], num_frames - frames01.shape[0], axis=0)
+        frames01 = np.concatenate([frames01, pad])
     frames01 = short_side_scale(frames01, resolution)
     if crop_size:
         frames01 = center_crop(frames01, crop_size)
@@ -118,13 +124,14 @@ def dp_sharded_features(extractor, clips01: Sequence[np.ndarray], *,
             # devices needs 7 pad rows)
             idx = np.arange(n_real + pad) % n_real
             chunk = chunk[idx]
-        x = preprocess_for_i3d(chunk, size=extractor.size)
         if extractor._ts_model is not None:
-            # torchscript flavour runs on host — no dp sharding
+            # torchscript flavour runs on host (no dp sharding) and does
+            # its own preprocessing
             f = extractor(chunk)
         else:
             import jax.numpy as jnp
 
+            x = preprocess_for_i3d(chunk, size=extractor.size)
             xs = jax.device_put(jnp.asarray(x), sharding)
             f = np.asarray(extractor._fn(extractor.params, xs))
         feats.append(f[:n_real])
@@ -158,15 +165,35 @@ def fvd_sweep(real_dir: str, fake_dir: str, *, i3d_path: Optional[str] = None,
     from scail_tpu.evals.frechet import frechet_from_features
 
     extractor = I3DFeatureExtractor(i3d_path, batch=batch, size=i3d_size)
-    f_real = dp_sharded_features(
-        extractor, clips([real_files[i] for i in mine]),
-        batch=batch, devices=devices)
-    f_fake = dp_sharded_features(
-        extractor, clips([fake_files[i] for i in mine]),
-        batch=batch, devices=devices)
+
+    def feats(paths):
+        if not paths:
+            return None  # hosts past the file count contribute nothing
+        return dp_sharded_features(extractor, clips(paths),
+                                   batch=batch, devices=devices)
+
+    f_real = feats([real_files[i] for i in mine])
+    f_fake = feats([fake_files[i] for i in mine])
     if pcount > 1:
         from jax.experimental import multihost_utils
 
-        f_real = np.concatenate(multihost_utils.process_allgather(f_real))
-        f_fake = np.concatenate(multihost_utils.process_allgather(f_fake))
+        # process_allgather requires IDENTICAL per-host shapes; the
+        # round-robin split leaves hosts with ceil vs floor(n/p) clips,
+        # so pad every host to the max count and drop pads after (each
+        # host knows every count from (n, pcount) alone — no extra comm)
+        n = len(real_files)
+        counts = [len(range(p, n, pcount)) for p in range(pcount)]
+        cmax = max(counts)
+
+        def pad_gather(f):
+            dim = f.shape[1] if f is not None else 400
+            buf = np.zeros((cmax, dim), f.dtype if f is not None
+                           else np.float32)
+            if f is not None:
+                buf[: f.shape[0]] = f
+            g = multihost_utils.process_allgather(buf)  # (pcount, cmax, D)
+            return np.concatenate([g[p, : counts[p]] for p in range(pcount)])
+
+        f_real = pad_gather(f_real)
+        f_fake = pad_gather(f_fake)
     return frechet_from_features(f_real, f_fake)

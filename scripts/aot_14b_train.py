@@ -120,9 +120,11 @@ def main() -> int:
     opt_struct = jax.eval_shape(tx.init, params_struct)
 
     def opt_spec_of(leaf):
-        # Adafactor state is factored row/col sums + scalars; replicate
-        # the small leaves, shard param-shaped ones like the param they
-        # track (ZeRO-equivalent layout falls out of NamedSharding)
+        # Adafactor state is REPLICATED here: its factored row/col sums
+        # are ~(a+b)/(a*b) of the param sizes (tens of MB total at 14B),
+        # so sharding them buys nothing; the memory fits reported below
+        # include this replication.  (A ZeRO layout would spec each leaf
+        # like its param — worthwhile only for unfactored optimizers.)
         return NamedSharding(mesh, P())
 
     opt_shardings = jax.tree.map(opt_spec_of, opt_struct)

@@ -229,6 +229,42 @@ def test_expand_shard_paths_include_dirs(tmp_path):
                    str(tmp_path / "B" / "b0.tar")]
 
 
+def test_meta_tar_shard_dotted_name_and_keyless_lines(tmp_path):
+    """Review findings: shard basenames with dots must map to the right
+    sidecar (splitext, not split('.')[0]); well-formed JSON without a
+    'key' (or non-dict JSON) is skipped like malformed lines."""
+    import json
+
+    from scail_tpu.data.datasets import MetaTarShardDataset
+
+    p = tmp_path / "clips.v2-000.tar"
+    _write_tar(p, n=2)
+    assert MetaTarShardDataset.meta_path_for(str(p)).endswith(
+        "clips.v2-000.meta.jsonl")
+    with open(tmp_path / "clips.v2-000.meta.jsonl", "w") as f:
+        f.write(json.dumps({"score": 0.1}) + "\n")      # keyless: skipped
+        f.write("42\n")                                  # non-dict: skipped
+        f.write(json.dumps({"key": "000001", "score": 0.9}) + "\n")
+    ds = MetaTarShardDataset([str(p)], meta_names=["score"],
+                             shuffle_shards=False)
+    items = [s for _, s in zip(range(2), iter(ds))]
+    assert "score" not in items[0]
+    assert items[1]["score"] == 0.9
+
+
+def test_expand_shard_paths_suffix_and_star(tmp_path):
+    """'.tar' means the extension, not a name suffix; '*n' weighting
+    parses from the RIGHT so earlier '*'s in the path survive."""
+    from scail_tpu.data.datasets import expand_shard_paths
+
+    d = tmp_path / "A"
+    d.mkdir()
+    _write_tar(d / "a0.tar")
+    (d / "avatar").write_bytes(b"not a tar")   # ends with 'tar', not '.tar'
+    got = expand_shard_paths("", include_dirs=f"{d}*2")
+    assert got == [str(d / "a0.tar")] * 2
+
+
 def test_meta_tar_shard_dataset(tmp_path):
     import json
 

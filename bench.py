@@ -157,10 +157,34 @@ def _bench_vae_decode():
             "vae_decode_fps": round(81 / t_dec, 2)}
 
 
+def _probe_tpu(timeout_s: int = 240) -> bool:
+    """The axon tunnel can wedge so hard that jax.devices() HANGS (not
+    errors) — observed for 6+ hours straight on 2026-08-17.  Probe it in
+    a killable subprocess so the bench always emits its JSON line (CPU
+    smoke fallback) instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices()[0]; print(d.platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and r.stdout.strip() in ("tpu", "axon")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from scail_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if not os.environ.get("SCAIL_BENCH_SKIP_PROBE") and not _probe_tpu():
+        print("bench: TPU probe failed/hung; falling back to the CPU "
+              "smoke path", flush=True)
+        from scail_tpu.utils.platform import force_platform
+
+        force_platform("cpu")
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 

@@ -101,11 +101,18 @@ def test_validate_weights_smoke_end_to_end(tmp_path):
     convert is skipped, both sampling passes run the real CLI, FVD runs
     against GT, and the gate decision is reported."""
     out = tmp_path / "validate"
+    # one case keeps the smoke bounded on the 1-core host (examples_synth
+    # has two fixtures; each costs ~2 sampling subprocesses)
+    ex = tmp_path / "examples"
+    import shutil
+
+    shutil.copytree(os.path.join(REPO, "examples_synth", "001"),
+                    str(ex / "001"))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # single CPU device is enough + faster
     proc = subprocess.run(
         [sys.executable, "scripts/validate_weights.py", "--smoke",
-         "--examples", "examples_synth", "--out", str(out)],
+         "--examples", str(ex), "--out", str(out)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
     assert proc.returncode == 0, proc.stderr[-3000:] + proc.stdout[-2000:]
     line = [l for l in proc.stdout.strip().splitlines()

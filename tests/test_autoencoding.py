@@ -50,6 +50,7 @@ def test_diagonal_gaussian_golden(rng):
 
 def test_vector_quantizer_golden(rng):
     qz = refmods.import_ref("sgm.modules.autoencoding.regularizers.quantize")
+    torch.manual_seed(0)
     ref = qz.VectorQuantizer(n_e=32, e_dim=8, beta=0.25, log_perplexity=True)
     z_np = rng.normal(size=(2, 8, 4, 4)).astype(np.float32) * 0.1
     z_t = _t(z_np).requires_grad_(True)
@@ -86,6 +87,7 @@ def test_vector_quantizer_golden(rng):
 
 def test_ema_vector_quantizer_golden(rng):
     qz = refmods.import_ref("sgm.modules.autoencoding.regularizers.quantize")
+    torch.manual_seed(0)
     ref = qz.EMAVectorQuantizer(n_embed=16, embedding_dim=6, beta=0.4,
                                 decay=0.9)
     ref.train()
@@ -124,6 +126,11 @@ def test_ema_vector_quantizer_golden(rng):
 def test_lfq_golden(rng):
     lfq_mod = refmods.import_ref(
         "sgm.modules.autoencoding.regularizers.lookup_free_quantization")
+    # the projection init draws from torch's GLOBAL rng: unseeded, the
+    # weights depend on suite order, and an unlucky draw parks a code
+    # logit at ~0 where torch/jax f32 rounding pick different signs
+    # (observed as an order-dependent flake in the full suite)
+    torch.manual_seed(0)
     ref = lfq_mod.LFQ(dim=16, codebook_size=256)  # projections active
     ref.train()
     x_np = rng.normal(size=(2, 7, 16)).astype(np.float32)
@@ -187,6 +194,7 @@ def test_measure_perplexity_uniform():
 # ---------------------------------------------------------------------------
 def test_nlayer_discriminator_golden(rng):
     mm = refmods.import_ref("sgm.modules.autoencoding.lpips.model.model")
+    torch.manual_seed(0)
     ref = mm.NLayerDiscriminator(input_nc=3, ndf=16, n_layers=3,
                                  use_actnorm=False).apply(mm.weights_init)
     ref.train()  # train-mode BatchNorm = batch statistics

@@ -106,9 +106,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
         # the exp2 over the (bq, bk) tile is the kernel's VPU bottleneck
-        # (see ROADMAP "dense ceiling"); softmax_dtype=bf16 runs it at 2x
-        # lane rate for ~0.4% relative p error -- opt-in, measured via
-        # scripts/bench_attention.py --softmax-bf16
+        # (see ROADMAP "dense ceiling"); softmax_dtype=bf16 was MEASURED
+        # SLOWER on v5e (123.3 vs 127.1 TF/s fwd, same-session A/B via
+        # scripts/bench_attention.py --softmax-bf16): the extra f32->bf16
+        # casts around the MXU-produced scores outweigh the doubled lane
+        # rate.  Keep f32; the knob stays for other chip generations.
         p = jnp.exp2((s - m_next).astype(softmax_dtype))
         l_next = alpha * l_prev + jnp.sum(
             p, axis=-1, keepdims=True, dtype=jnp.float32)

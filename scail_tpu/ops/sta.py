@@ -139,15 +139,21 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None,
     ts_q defaults to the kv block size ts (video queries); the windowed
     pose stream passes its own smaller tile.  Output like qv.
 
-    with_lse=True additionally returns the natural-log lse laid out as
-    (B, nq, ts_pad) fp32 with ts_pad = ts_q rounded up to 128 lanes
-    (zero tail) -- the backward pass consumes this layout directly; the
-    sampling path skips the extra output entirely."""
+    with_lse=True additionally returns the natural-log lse laid out
+    dense-flash style as (B, 1, nq*ts_q) fp32 -- the backward pass
+    consumes this layout directly; it requires ts_q % 128 == 0 (the
+    trainable wrapper pads query tiles up to the lane boundary first).
+    The sampling path skips the extra output entirely and takes any
+    8-aligned ts_q."""
     B, sq, d = qv.shape
     ts_q = ts if ts_q is None else ts_q
     nq = sq // ts_q
     n_steps = table.shape[1]
-    ts_pad = -(-ts_q // 128) * 128
+    if with_lse:
+        # a (1, 1, ts_q) lse block over (B, 1, nq*ts_q) is only lane-legal
+        # when ts_q % 128 == 0; callers pre-pad query tiles (see
+        # _sta_windowed_vjp_fwd) so no in-kernel unaligned concat is needed
+        assert ts_q % 128 == 0, ts_q
     qv = _prescale(qv, scale)
 
     def _kernel(table_ref, q_ref, k_ref, v_ref, o_ref, *rest):
@@ -164,20 +170,22 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None,
         if with_lse:
             @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
             def _copy_lse():
-                val = lse_ref[0, 0]
-                if ts_pad > ts_q:
-                    val = jnp.concatenate(
-                        [val, jnp.zeros((ts_pad - ts_q,), jnp.float32)])
-                lseo_ref[0, 0] = val
+                lseo_ref[0, 0] = lse_ref[0, 0]
 
     out_specs = pl.BlockSpec((1, ts_q, d), lambda b, qi, ki, tref: (b, qi, 0))
     out_shape = jax.ShapeDtypeStruct(qv.shape, qv.dtype)
     if with_lse:
+        # Mosaic requires the last-two block dims be (%8, %128)-aligned or
+        # equal to the array dims; a (1, 1, ts_q) block over (B, nq, ts_q)
+        # has sublane block 1 vs array nq and is rejected on real TPU
+        # (interpret mode never checks).  The dense flash kernel's proven
+        # layout instead: lse rides the LANE dim of a (B, 1, nq*ts_q)
+        # buffer, blocked (1, 1, ts_q) -- sublane block 1 == array dim 1.
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1, ts_pad),
-                                  lambda b, qi, ki, tref: (b, qi, 0)))
+                     pl.BlockSpec((1, 1, ts_q),
+                                  lambda b, qi, ki, tref: (b, 0, qi)))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((B, nq, ts_pad), jnp.float32))
+                     jax.ShapeDtypeStruct((B, 1, nq * ts_q), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -235,7 +243,7 @@ def _inverse_table(table, n_blocks):
 
 
 def _sta_dq_kernel(table_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, acc_ref, *, scale, ts_q):
+                   delta_ref, dq_ref, acc_ref, *, scale):
     """Windowed dq: same block walk as the forward.  q is pre-scaled by
     scale*log2e and lse is log2-domain, so p = exp2(min(s - lse2, 0)) is
     the exact softmax; zero-padded kv columns contribute ds*k = 0."""
@@ -250,8 +258,8 @@ def _sta_dq_kernel(table_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse2 = lse_ref[0, 0][:ts_q][:, None]
-    delta = delta_ref[0, 0][:ts_q][:, None]
+    lse2 = lse_ref[0, 0][:, None]     # (ts_q, 1), log2-domain
+    delta = delta_ref[0, 0][:, None]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -268,7 +276,7 @@ def _sta_dq_kernel(table_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _sta_dkv_kernel(inv_ref, len_ref, q_ref, do_ref, lse_ref, delta_ref,
-                    k_ref, v_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, ts_q):
+                    k_ref, v_ref, dk_ref, dv_ref, dk_acc, dv_acc):
     """Windowed dk/dv over the inverse table.  Padded row entries repeat
     the last valid q tile; the length guard skips their compute (their
     DMA is elided by the pipeline since the block index is unchanged)."""
@@ -287,8 +295,8 @@ def _sta_dkv_kernel(inv_ref, len_ref, q_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        lse2 = lse_ref[0, 0][:ts_q][None, :]
-        delta = delta_ref[0, 0][:ts_q][None, :]
+        lse2 = lse_ref[0, 0][None, :]     # (1, ts_q), log2-domain
+        delta = delta_ref[0, 0][None, :]
         s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         p_t = jnp.exp2(jnp.minimum(s_t - lse2, 0.0))
@@ -308,31 +316,30 @@ def _sta_dkv_kernel(inv_ref, len_ref, q_ref, do_ref, lse_ref, delta_ref,
 
 
 def _sta_windowed_bwd_impl(q, kp, vp, out, lse, do, table, ts, scale, ts_q):
-    """q: (B, nq*ts_q, d) original (unscaled) tile-major queries; kp/vp:
-    (B, n_blocks*ts, d) padded kv; lse: (B, nq, ts_pad) natural-log.
-    Returns (dq, dkp, dvp) with dkp/dvp over the full padded kv (the
-    caller's pad-concat VJP drops the tail)."""
+    """q: (B, nq*ts_q, d) original (unscaled) tile-major queries with
+    ts_q % 128 == 0 (the vjp wrapper pads tiles up to the lane boundary);
+    kp/vp: (B, n_blocks*ts, d) padded kv; lse: (B, 1, nq*ts_q)
+    natural-log in the dense-flash lane layout.  Returns (dq, dkp, dvp)
+    with dkp/dvp over the full padded kv (the caller's pad-concat VJP
+    drops the tail)."""
     B, sq, d = q.shape
     nq = sq // ts_q
     n_blocks = kp.shape[1] // ts
-    ts_pad = lse.shape[-1]
     n_steps = table.shape[1]
     inv, lens = _inverse_table(table, n_blocks)
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = delta.reshape(B, nq, ts_q)
-    if ts_pad > ts_q:
-        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, ts_pad - ts_q)))
+    delta = delta[:, None, :]          # (B, 1, nq*ts_q) like lse
     lse2 = lse * _LOG2E  # log2-domain for the exp2 kernels
     q2 = _prescale(q, scale)
 
     qspec = pl.BlockSpec((1, ts_q, d), lambda b, qi, ki, tref: (b, qi, 0))
     kspec = pl.BlockSpec((1, ts, d),
                          lambda b, qi, ki, tref: (b, tref[qi, ki], 0))
-    lspec = pl.BlockSpec((1, 1, ts_pad), lambda b, qi, ki, tref: (b, qi, 0))
+    lspec = pl.BlockSpec((1, 1, ts_q), lambda b, qi, ki, tref: (b, 0, qi))
     with _pallas_ctx():
         dq = pl.pallas_call(
-            functools.partial(_sta_dq_kernel, scale=scale, ts_q=ts_q),
+            functools.partial(_sta_dq_kernel, scale=scale),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(B, nq, n_steps),
@@ -350,12 +357,12 @@ def _sta_windowed_bwd_impl(q, kp, vp, out, lse, do, table, ts, scale, ts_q):
     # dk/dv: kv blocks in the grid, inverse-table q walk innermost
     qspec2 = pl.BlockSpec((1, ts_q, d),
                           lambda b, bi, qi, iref, lref: (b, iref[bi, qi], 0))
-    lspec2 = pl.BlockSpec((1, 1, ts_pad),
-                          lambda b, bi, qi, iref, lref: (b, iref[bi, qi], 0))
+    lspec2 = pl.BlockSpec((1, 1, ts_q),
+                          lambda b, bi, qi, iref, lref: (b, 0, iref[bi, qi]))
     kspec2 = pl.BlockSpec((1, ts, d), lambda b, bi, qi, iref, lref: (b, bi, 0))
     with _pallas_ctx():
         dk, dv = pl.pallas_call(
-            functools.partial(_sta_dkv_kernel, ts_q=ts_q),
+            _sta_dkv_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, n_blocks, inv.shape[1]),

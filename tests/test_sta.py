@@ -242,3 +242,52 @@ def test_engine_sample_sta_matches_dense():
     got = np.asarray(eng.sample(jax.random.PRNGKey(2), cond, cond,
                                 batch_size=1, shape=(2, 16, 8, 8)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sta_train_grad_aot_mosaic_lowering():
+    """Regression: AOT-compile grad-through-sta_attention for REAL TPU via
+    the chipless v5e topology, so Mosaic's block-shape checks actually run
+    (interpret mode skips them).  Round 3 on-chip bug: the training lse
+    residual's (1, 1, ts_pad) block over (B, nq, ts_pad) violated the
+    sublane rule whenever nq > 1 and the whole STA train step failed to
+    lower on hardware while every CPU test stayed green."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.test_aot_14b import REPO, _tpu_plugin_available
+
+    if not _tpu_plugin_available():
+        pytest.skip("TPU compiler plugin not importable on this host")
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from scail_tpu.utils.platform import force_platform
+force_platform("cpu")
+from jax.experimental import topologies
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from scail_tpu.ops.sta import sta_attention
+
+topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:1x1")
+mesh = Mesh(np.array(topo.devices), ("x",))
+# Wp=128 keeps ts (=2*2*128) lane-aligned; 2x2 tiles of a (4,4) grid give
+# nq=4 video query tiles -- nq > 1 is what arms the sublane-rule trap
+kw = dict(grid_thw=(4, 4, 128), ref_len=128, pose_len=0,
+          tile=(2, 2), window=(2, 2))
+s = 4 * 4 * 128 + 128
+
+def loss(q, k, v):
+    return jnp.sum(sta_attention(q, k, v, **kw).astype(jnp.float32) ** 2)
+
+sh = NamedSharding(mesh, P())
+st = jax.ShapeDtypeStruct((1, s, 1, 128), jnp.bfloat16)
+jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+        in_shardings=(sh, sh, sh)).lower(st, st, st).compile()
+print("MOSAIC_OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "MOSAIC_OK" in proc.stdout

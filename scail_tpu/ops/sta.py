@@ -157,10 +157,11 @@ def _sta_video_fwd(qv, kv_k, kv_v, table, ts, scale, n_pad, ts_q=None,
     qv = _prescale(qv, scale)
 
     def _kernel(table_ref, q_ref, k_ref, v_ref, o_ref, *rest):
-        # lse lives in scratch: the sampling path never consumes it, and
-        # a real (1, 1, ts_q) output block would violate the TPU
-        # 128-lane rule for ts_q that is only 8-aligned; the lse-output
-        # variant copies the scratch out zero-padded to 128 lanes.
+        # lse lives in scratch: the sampling path never consumes it.  The
+        # lse-output variant copies the scratch verbatim into its
+        # (1, 1, ts_q) lane-layout block of the (B, 1, nq*ts_q) output on
+        # the last kv step -- legal because the trainable wrapper already
+        # padded ts_q to the 128-lane boundary.
         if with_lse:
             lseo_ref, lse_ref, acc_ref, m_ref, l_ref = rest
         else:
@@ -390,12 +391,40 @@ def _sta_windowed(q, kp, vp, table_t, ts, scale, n_pad, ts_q):
     return _sta_video_fwd(q, kp, vp, table, ts, scale, n_pad, ts_q=ts_q)
 
 
+def _lane_pad(ts_q):
+    """Query-tile row count rounded up to the 128-lane boundary (the lse
+    rides the lane dim of a (B, 1, nq*ts_pad) buffer)."""
+    return -(-ts_q // 128) * 128
+
+
+def _pad_tiles(x, nq, ts_q, ts_pad):
+    """(B, nq*ts_q, d) -> (B, nq*ts_pad, d): zero-pad every query tile's
+    trailing rows.  Zero q rows see uniform softmax (garbage lse/out that
+    the caller slices away) and, with do padded the same way, contribute
+    exactly zero to dk/dv (ds = p*(dp - delta) with do = 0)."""
+    B, _, d = x.shape
+    x = x.reshape(B, nq, ts_q, d)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, ts_pad - ts_q), (0, 0)))
+    return x.reshape(B, nq * ts_pad, d)
+
+
+def _unpad_tiles(x, nq, ts_q, ts_pad):
+    B, _, d = x.shape
+    return x.reshape(B, nq, ts_pad, d)[:, :, :ts_q].reshape(B, nq * ts_q, d)
+
+
 def _sta_windowed_vjp_fwd(q, kp, vp, table_t, ts, scale, n_pad, ts_q):
     table = np.asarray(table_t, np.int32)
-    out, lse = _sta_video_fwd(q, kp, vp, table, ts, scale, n_pad,
-                              ts_q=ts_q, with_lse=True)
+    nq = q.shape[1] // ts_q
+    ts_pad = _lane_pad(ts_q)
+    qp = q if ts_pad == ts_q else _pad_tiles(q, nq, ts_q, ts_pad)
+    out, lse = _sta_video_fwd(qp, kp, vp, table, ts, scale, n_pad,
+                              ts_q=ts_pad, with_lse=True)
+    if ts_pad != ts_q:
+        out = _unpad_tiles(out, nq, ts_q, ts_pad)
     # same names as the dense flash VJP so the save_attn remat policies
-    # keep STA state too (models/dit.py remat_policy)
+    # keep STA state too (models/dit.py remat_policy); lse keeps the
+    # padded lane layout -- the backward consumes it directly
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     return out, (q, kp, vp, out, lse)
@@ -404,8 +433,17 @@ def _sta_windowed_vjp_fwd(q, kp, vp, table_t, ts, scale, n_pad, ts_q):
 def _sta_windowed_vjp_bwd(table_t, ts, scale, n_pad, ts_q, res, do):
     q, kp, vp, out, lse = res
     table = np.asarray(table_t, np.int32)
-    return _sta_windowed_bwd_impl(q, kp, vp, out, lse, do, table, ts,
-                                  scale, ts_q)
+    nq = q.shape[1] // ts_q
+    ts_pad = _lane_pad(ts_q)
+    if ts_pad != ts_q:
+        q = _pad_tiles(q, nq, ts_q, ts_pad)
+        out = _pad_tiles(out, nq, ts_q, ts_pad)
+        do = _pad_tiles(do, nq, ts_q, ts_pad)
+    dq, dkp, dvp = _sta_windowed_bwd_impl(q, kp, vp, out, lse, do, table,
+                                          ts, scale, ts_pad)
+    if ts_pad != ts_q:
+        dq = _unpad_tiles(dq, nq, ts_q, ts_pad)
+    return dq, dkp, dvp
 
 
 _sta_windowed.defvjp(_sta_windowed_vjp_fwd, _sta_windowed_vjp_bwd)

@@ -193,6 +193,38 @@ def test_sta_grads_match_masked_dense(window):
                                    err_msg=f"d{name} mismatch")
 
 
+def test_sta_grads_production_tile_misaligned_ts():
+    """Gradient parity at the PRODUCTION tile row counts: tile (3, 8) at
+    Wp=56 gives ts = 1344 and pose q-tile ts//4 = 336 -- neither a
+    multiple of 128, so this permanently covers the lane-padding path of
+    the trainable VJP (round-3 snapshot regression: an unpadded lse
+    layout asserted ts_q % 128 == 0 and broke STA training at every real
+    geometry).  T=3, Hp=8 keeps the grid to one tile so the dense oracle
+    stays CPU-sized while ts/ts_q match production exactly."""
+    t, hp, wp = 3, 8, 56
+    pose = t * (hp // 2) * (wp // 2)          # 336
+    ref = 8
+    s = ref + t * hp * wp + pose              # 8 + 1344 + 336
+    assert (3 * 8 * wp) % 128 != 0 and (3 * 8 * wp // 4) % 128 != 0
+    rng = np.random.default_rng(17)
+    shp = (1, s, 2, 128)
+    q, k, v = [jnp.asarray(rng.standard_normal(shp), jnp.float32)
+               for _ in range(3)]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    kw = dict(grid_thw=(t, hp, wp), ref_len=ref, pose_len=pose,
+              tile=(3, 8), window=(1, 1), windowed_pose=True)
+    mask = sta_block_mask(s, (t, hp, wp), ref, pose, (3, 8), (1, 1),
+                          windowed_pose=True)
+    with pltpu.force_tpu_interpret_mode():
+        got, want = _grad_pair(
+            lambda q, k, v: sta_attention(q, k, v, **kw),
+            lambda q, k, v: _masked_dense(q, k, v, mask, scale), q, k, v)
+    for g, w_, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
 def test_sta_grads_windowed_pose_and_pose_kv():
     """Gradient parity for the full production sparsity: windowed pose
     queries + temporally windowed pose kv."""
@@ -245,13 +277,19 @@ def test_engine_sample_sta_matches_dense():
 
 
 @pytest.mark.slow
-def test_sta_train_grad_aot_mosaic_lowering():
+@pytest.mark.parametrize("geom", ["aligned", "unaligned_pose"])
+def test_sta_train_grad_aot_mosaic_lowering(geom):
     """Regression: AOT-compile grad-through-sta_attention for REAL TPU via
     the chipless v5e topology, so Mosaic's block-shape checks actually run
     (interpret mode skips them).  Round 3 on-chip bug: the training lse
     residual's (1, 1, ts_pad) block over (B, nq, ts_pad) violated the
     sublane rule whenever nq > 1 and the whole STA train step failed to
-    lower on hardware while every CPU test stayed green."""
+    lower on hardware while every CPU test stayed green.
+
+    'aligned': ts lane-aligned, nq > 1 (arms the sublane-rule trap).
+    'unaligned_pose': ts = 224 and pose ts_q = 56, neither %128 -- the
+    trainable VJP's query-tile lane padding must produce Mosaic-legal
+    blocks (round-4 coverage for the round-3 snapshot regression)."""
     import os
     import subprocess
     import sys
@@ -260,6 +298,24 @@ def test_sta_train_grad_aot_mosaic_lowering():
 
     if not _tpu_plugin_available():
         pytest.skip("TPU compiler plugin not importable on this host")
+    geoms = {
+        # Wp=128 keeps ts (=2*2*128) lane-aligned; 2x2 tiles of a (4,4)
+        # grid give nq=4 video query tiles
+        "aligned": """
+kw = dict(grid_thw=(4, 4, 128), ref_len=128, pose_len=0,
+          tile=(2, 2), window=(2, 2))
+s = 4 * 4 * 128 + 128
+""",
+        # ts = 2*2*56 = 224 (%128 != 0), pose q tile 56 (%128 != 0):
+        # exercises the padded-tile path at a misaligned geometry like
+        # the production tile (3,8)@Wp=56 (ts=1344, pose 336)
+        "unaligned_pose": """
+kw = dict(grid_thw=(4, 4, 56), ref_len=128,
+          pose_len=4 * 2 * 28, tile=(2, 2), window=(2, 2),
+          windowed_pose=True)
+s = 128 + 4 * 4 * 56 + 4 * 2 * 28
+""",
+    }
     code = """
 import numpy as np, jax, jax.numpy as jnp
 from scail_tpu.utils.platform import force_platform
@@ -268,14 +324,10 @@ from jax.experimental import topologies
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scail_tpu.ops.sta import sta_attention
 
-topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:1x1")
+# v5e:2x2 = one full host (libtpu rejects sub-host layouts like 1x1)
+topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x2")
 mesh = Mesh(np.array(topo.devices), ("x",))
-# Wp=128 keeps ts (=2*2*128) lane-aligned; 2x2 tiles of a (4,4) grid give
-# nq=4 video query tiles -- nq > 1 is what arms the sublane-rule trap
-kw = dict(grid_thw=(4, 4, 128), ref_len=128, pose_len=0,
-          tile=(2, 2), window=(2, 2))
-s = 4 * 4 * 128 + 128
-
+""" + geoms[geom] + """
 def loss(q, k, v):
     return jnp.sum(sta_attention(q, k, v, **kw).astype(jnp.float32) ** 2)
 

@@ -73,3 +73,113 @@ def test_force_zero_embeddings():
     out = cond({"txt": ["hello"], "vec": np.ones((1, 4), np.float32)},
                force_zero_embeddings=("txt",))
     assert float(jnp.abs(out["crossattn"]).max()) == 0.0
+
+
+# ---- correlated ucg (reference modules.py:126-235) -----------------------
+
+@register(alias="tests.fake.IdVec")
+class _IdVec(AbstractEmbModel):
+    def __call__(self, v):
+        return jnp.asarray(v, jnp.float32)
+
+
+@register(alias="tests.fake.IdCross")
+class _IdCross(AbstractEmbModel):
+    def __call__(self, v):
+        return jnp.asarray(v, jnp.float32)
+
+
+def _cor_conditioner(cor_p):
+    return GeneralConditioner(
+        emb_models=[
+            {"target": "tests.fake.IdVec", "input_key": "a", "ucg_rate": 0.1},
+            {"target": "tests.fake.IdVec", "input_key": "b", "ucg_rate": 0.1},
+        ],
+        cor_embs=[0, 1], cor_p=cor_p)
+
+
+def test_correlated_ucg_joint_drop():
+    """cor_p puts all mass on 'both dropped' / 'both kept': the two
+    embedders' per-sample drop decisions must coincide exactly (the whole
+    point of correlated ucg -- an independent draw would decorrelate)."""
+    cond = _cor_conditioner([0.5, 0.0, 0.0, 0.5])  # idx 0 (keep,keep) or 3 (drop,drop)
+    cond.ucg_prng = np.random.RandomState(5)
+    b = 256
+    batch = {"a": np.ones((b, 2), np.float32),
+             "b": np.ones((b, 2), np.float32)}
+    out = np.asarray(cond(batch)["vector"])        # (b, 4) = [a | b]
+    a_dropped = out[:, :2].max(axis=1) == 0.0
+    b_dropped = out[:, 2:].max(axis=1) == 0.0
+    np.testing.assert_array_equal(a_dropped, b_dropped)
+    assert 0 < a_dropped.sum() < b                 # both outcomes occur
+
+
+def test_correlated_ucg_bit_order():
+    """Bit k of the categorical index drops embedder cor_embs[k]:
+    index 1 = drop #0 keep #1, index 2 = keep #0 drop #1."""
+    for idx, (drop_a, drop_b) in [(1, (True, False)), (2, (False, True))]:
+        p = [0.0] * 4
+        p[idx] = 1.0
+        cond = _cor_conditioner(p)
+        out = np.asarray(cond({"a": np.ones((3, 2), np.float32),
+                               "b": np.ones((3, 2), np.float32)})["vector"])
+        assert (out[:, :2].max() == 0.0) == drop_a
+        assert (out[:, 2:].max() == 0.0) == drop_b
+
+
+def test_correlated_ucg_disabled_at_inference():
+    cond = _cor_conditioner([0.0, 0.0, 0.0, 1.0])  # always drop both
+    batch = {"a": np.ones((2, 2), np.float32),
+             "b": np.ones((2, 2), np.float32)}
+    c, uc = cond.get_unconditional_conditioning(batch)
+    assert float(np.asarray(c["vector"]).min()) == 1.0  # ucg off for (c, uc)
+
+
+def test_correlated_ucg_golden_vs_reference():
+    """Bit-exact parity with the reference GeneralConditioner's correlated
+    path (modules.py:199-213): same RandomState stream -> same joint
+    draws -> identical masked outputs and identical concat order (the
+    reference embeds correlated embedders FIRST)."""
+    import torch
+
+    from tests import refmods
+
+    refmods.install_stubs()
+    ref_mod = refmods.import_ref("sgm.modules.encoders.modules")
+
+    class RefIdVec(ref_mod.AbstractEmbModel):
+        def forward(self, v):
+            return torch.as_tensor(np.asarray(v))
+
+    # make the class importable for the reference's target-string factory
+    # (pytest imports this file under a non-package name, so attach to the
+    # package module refmods, which IS in sys.modules as tests.refmods)
+    refmods.RefIdVec = RefIdVec
+    emb_cfgs = [
+        {"target": "tests.refmods.RefIdVec", "input_key": "a",
+         "ucg_rate": 0.1},
+        {"target": "tests.refmods.RefIdVec", "input_key": "b",
+         "ucg_rate": 0.1},
+        {"target": "tests.refmods.RefIdVec", "input_key": "c",
+         "ucg_rate": 0.0},
+    ]
+    cor_p = [0.4, 0.3, 0.2, 0.1]
+    ref = ref_mod.GeneralConditioner(emb_cfgs, cor_embs=[1, 0], cor_p=cor_p)
+
+    b = 64
+    batch = {k: np.random.default_rng(i).standard_normal(
+        (b, 2)).astype(np.float32) for i, k in enumerate("abc")}
+    np.random.seed(31)  # the reference draws from the GLOBAL np.random
+    want = ref({k: torch.as_tensor(v) for k, v in batch.items()})
+
+    mine = GeneralConditioner(
+        emb_models=[
+            {"target": "tests.fake.IdVec", "input_key": "a", "ucg_rate": 0.1},
+            {"target": "tests.fake.IdVec", "input_key": "b", "ucg_rate": 0.1},
+            {"target": "tests.fake.IdVec", "input_key": "c", "ucg_rate": 0.0},
+        ],
+        cor_embs=[1, 0], cor_p=cor_p)
+    mine.ucg_prng = np.random.RandomState(31)  # same stream as np.random.seed
+    got = mine(batch)
+    np.testing.assert_allclose(np.asarray(got["vector"]),
+                               want["vector"].numpy(), rtol=0, atol=0)

@@ -266,3 +266,42 @@ def test_registry_roundtrip_reference_targets():
     })
     assert isinstance(obj, RFSampler)
     assert obj.guider.scale == 4
+
+
+def test_discrete_sampling_dp_stratification():
+    """uniform_sampling=True with group_num=g: the reference partitions
+    the dp world into g rank groups, group k drawing sigma indices only
+    from [k*num_idx/g, (k+1)*num_idx/g) (reference sigma_sampling.py:22-59).
+    TPU-natively the rank groups are contiguous chunks of the dp-sharded
+    global batch; assert the per-chunk interval property under a real
+    8-device 'data' sharding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from scail_tpu.diffusion.sigma_sampling import DiscreteSampling
+
+    g, num_idx, b = 4, 1000, 16
+    samp = DiscreteSampling(num_idx=num_idx, uniform_sampling=True,
+                            group_num=g)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def draw(key):
+        sig, idx = samp(key, b, return_idx=True)
+        return jax.lax.with_sharding_constraint(idx, sh)
+
+    interval = num_idx // g
+    for seed in range(8):
+        idx = np.asarray(draw(jax.random.PRNGKey(seed)))
+        groups = (np.arange(b) * g) // b
+        assert ((idx >= groups * interval)
+                & (idx < (groups + 1) * interval)).all()
+    # every group interval is actually exercised across draws
+    all_idx = np.concatenate([np.asarray(draw(jax.random.PRNGKey(s)))
+                              for s in range(32)])
+    hist = np.histogram(all_idx, bins=g, range=(0, num_idx))[0]
+    assert (hist > 0).all()
+    # plain mode still spans the full range
+    samp0 = DiscreteSampling(num_idx=num_idx)
+    idx0 = np.asarray(samp0(jax.random.PRNGKey(0), 4096, return_idx=True)[1])
+    assert idx0.min() < interval and idx0.max() >= num_idx - interval

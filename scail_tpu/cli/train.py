@@ -18,6 +18,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scail_tpu.utils.config import load_configs, split_reference_config
 from scail_tpu.utils.logging import print_rank0
@@ -84,6 +85,7 @@ def main(argv=None):
     else:
         engine.init_params(key)
 
+    mesh = None
     if args.mesh_seq * args.mesh_model > 1 or jax.device_count() > 1:
         from scail_tpu.parallel.mesh import MeshSpec, make_mesh
 
@@ -154,8 +156,24 @@ def main(argv=None):
             cond = engine.conditioner({"txt": batch["txt"]})
             batch = dict(batch)
             batch["crossattn"] = cond["crossattn"]
-        return {k: jnp.asarray(v) for k, v in batch.items()
-                if not isinstance(v, list)}
+        arrs = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: each host's loader yields its dp slice; assemble
+            # GLOBAL arrays over the mesh's data axis (the reference's
+            # dp-sharded loaders + data-broadcast group, SURVEY section 2.5)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def glob(x):
+                x = np.asarray(x)
+                # with grad accumulation the dp batch dim is axis 1
+                axis = 1 if args.grad_accum > 1 else 0
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P(*spec)), x)
+
+            return {k: glob(v) for k, v in arrs.items()}
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
 
     trainer.fit(map(to_device, iter(train_loader)))
 

@@ -47,6 +47,10 @@ def initialize_distributed(coordinator_address: str = None,
             process_id=(process_id if process_id is not None
                         else int(os.environ.get("RANK", "0"))),
         )
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU cross-process collectives need an explicit implementation
+        # (the multi-host CPU test path; TPU pods use ICI natively)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(**kwargs)
     print_rank0(
         f"jax.distributed initialized: {jax.process_count()} processes, "

@@ -56,6 +56,37 @@ class TrainConfig:
     keep_every_checkpoints: int = 0
 
 
+def _opt_shardings_like(opt_struct, params, param_shardings):
+    """Sharding pytree for an optax state: optax builds its param-shaped
+    moments via tree_map over the params, so any subtree with the params'
+    exact treedef + leaf shapes is a param clone and adopts the param
+    shardings; everything else (scalar counts, masked subtrees) is
+    replicated on the params' mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    pdef = jax.tree.structure(params)
+    pshapes = [tuple(l.shape) for l in jax.tree.leaves(params)]
+    mesh = jax.tree.leaves(param_shardings)[0].mesh
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def rec(node):
+        try:
+            if (jax.tree.structure(node) == pdef and
+                    [tuple(l.shape) for l in jax.tree.leaves(node)] == pshapes):
+                return param_shardings
+        except Exception:
+            pass
+        if hasattr(node, "_fields"):            # optax NamedTuple states
+            return type(node)(*[rec(getattr(node, f)) for f in node._fields])
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(c) for c in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return replicated
+
+    return rec(opt_struct)
+
+
 class Trainer:
     """Owns optimizer/step state around a loss function
     loss_fn(params, key, batch) -> scalar (mean over batch)."""
@@ -81,9 +112,24 @@ class Trainer:
                 {"train": self.tx, "freeze": optax.set_to_zero()},
                 param_labels=jax.tree.map(
                     lambda m: "train" if m else "freeze", train_mask))
+        if param_shardings is not None:
+            # apply the mesh layout inside the Trainer (callers pass a
+            # NamedSharding pytree, e.g. from parallel/sharding.specs_for_
+            # tree).  Optimizer state is laid out ZeRO-style: every
+            # param-tree clone inside the optax state (mu/nu/ema shadow)
+            # gets the param shardings, scalars replicate -- the role of
+            # deepspeed_training.py:326-336.
+            params = jax.device_put(params, param_shardings)
+            opt_struct = jax.eval_shape(self.tx.init, params)
+            opt_shardings = _opt_shardings_like(
+                opt_struct, params, param_shardings)
+            opt_state = jax.jit(
+                self.tx.init, out_shardings=opt_shardings)(params)
+        else:
+            opt_state = self.tx.init(params)
         self.state = {
             "params": params,
-            "opt_state": self.tx.init(params),
+            "opt_state": opt_state,
             "step": jnp.zeros([], jnp.int32),
             "rng": jax.random.PRNGKey(config.seed),
             "skipped": jnp.zeros([], jnp.int32),

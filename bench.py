@@ -109,9 +109,43 @@ def _bench_inference(on_tpu, dev):
     return label, step_ms, mfu, tflops, S
 
 
-def _bench_train_step():
+def _calibration_probe(peak_tflops: float = 197.0):
+    """In-session chip-state calibration: a pure bf16 matmul chain (the
+    cleanest MXU roofline) measured in the SAME process as the bench.
+    The recorded rounds drift bimodally (r01 8899.6 ms ~= r03 8894.4 ms
+    across very different code, vs r02 7840 ms); probe_frac_of_peak turns
+    that from anecdote into data -- `mfu_normalized` is the step MFU
+    divided by the fraction of peak the chip gives a bare matmul TODAY,
+    so a code regression separates from a slow-chip day."""
+    n, chain = 8192, 16
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    # spectral norm ~1 keeps the chain bounded (inf/nan-free MXU timing)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+    b = (b / jnp.sqrt(jnp.float32(n)).astype(jnp.bfloat16))
+
+    @jax.jit
+    def mm_chain(a, b):
+        return jax.lax.fori_loop(
+            0, chain, lambda i, x: jax.lax.dot(
+                x, b, preferred_element_type=jnp.bfloat16), a)
+
+    _ = np.asarray(mm_chain(a, b)[0, :2])     # compile + warmup barrier
+    t0 = time.perf_counter()
+    out = mm_chain(a, b)
+    _ = np.asarray(out[0, :2])
+    dt = time.perf_counter() - t0
+    tflops = chain * 2 * n ** 3 / dt / 1e12
+    return {
+        "probe_matmul_tflops": round(tflops, 1),
+        "probe_frac_of_peak": round(tflops / peak_tflops, 4),
+    }
+
+
+def _bench_train_step(attn_impl=None):
     """Measured train-step (1.3B, 48.8k tokens, remat save_attn_frac=0.7,
-    Adafactor) via the shared scripts/bench_train_step.run."""
+    Adafactor) via the shared scripts/bench_train_step.run;
+    attn_impl='sta' measures the windowed-VJP sparse training step on the
+    same geometry (same-session A/B vs the dense number)."""
     import argparse
     import sys
 
@@ -122,13 +156,16 @@ def _bench_train_step():
     args = argparse.Namespace(
         iters=2, no_remat=False, frames=81, optimizer="adafactor",
         mode="step", remat_policy="save_attn_frac", save_frac=0.7,
-        attn_impl=None)
+        attn_impl=attn_impl)
     rep = bench_train_step.run(args)
-    return {
-        "train_step_s": rep["value"],
-        "train_mfu_vs_peak": rep["vs_baseline"],
-        "train_tflops_3xfwd": rep["extras"]["achieved_tflops_3xfwd"],
+    suffix = f"_{attn_impl}" if attn_impl else ""
+    out = {
+        f"train_step_s{suffix}": rep["value"],
+        f"train_mfu_vs_peak{suffix}": rep["vs_baseline"],
     }
+    if not attn_impl:
+        out["train_tflops_3xfwd"] = rep["extras"]["achieved_tflops_3xfwd"]
+    return out
 
 
 def _bench_vae_decode():
@@ -188,6 +225,13 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
+    probe = {}
+    if on_tpu:
+        try:
+            probe = _calibration_probe()
+        except Exception as e:  # pragma: no cover - tunnel flake path
+            probe = {"probe_error": repr(e)[:200]}
+
     label, step_ms, mfu, tflops, S = _bench_inference(on_tpu, dev)
 
     extras = {
@@ -205,6 +249,11 @@ def main():
         "r2_recorded_14b_w4a16_sta_step_s_cfg_half": 18.1,
         "device": str(dev),
     }
+    extras.update(probe)
+    if probe.get("probe_frac_of_peak"):
+        # step MFU normalized by today's bare-matmul fraction of peak:
+        # chip-state drift divides out, code regressions remain
+        extras["mfu_normalized"] = round(mfu / probe["probe_frac_of_peak"], 4)
 
     if on_tpu and not os.environ.get("SCAIL_BENCH_FAST"):
         # fail-soft: a flaky tunnel must not cost the primary metric
@@ -212,6 +261,10 @@ def main():
             extras.update(_bench_train_step())
         except Exception as e:  # pragma: no cover - tunnel flake path
             extras["train_step_error"] = repr(e)[:200]
+        try:
+            extras.update(_bench_train_step(attn_impl="sta"))
+        except Exception as e:  # pragma: no cover
+            extras["train_step_sta_error"] = repr(e)[:200]
         try:
             extras.update(_bench_vae_decode())
         except Exception as e:  # pragma: no cover

@@ -213,13 +213,15 @@ def lfq_quantize(params, x, *, codebook_size: int, num_codebooks: int = 1,
     else:
         x = quantized
 
-    mask = 2 ** jnp.arange(codebook_dim - 1, -1, -1, dtype=jnp.int32)
-    indices = jnp.sum((x > 0).astype(jnp.int32) * mask, axis=-1)
+    mask_np = 2 ** np.arange(codebook_dim - 1, -1, -1, dtype=np.int64)
+    indices = jnp.sum((x > 0).astype(jnp.int32)
+                      * jnp.asarray(mask_np, jnp.int32), axis=-1)
 
     if training:
-        # codebook of all 2^d sign patterns (:121-125)
+        # codebook of all 2^d sign patterns (:121-125); mask stays a
+        # host array so the quantizer traces under jit
         all_codes = np.arange(codebook_size)
-        bits = ((all_codes[:, None] & np.asarray(mask)) != 0).astype(np.float32)
+        bits = ((all_codes[:, None] & mask_np) != 0).astype(np.float32)
         codebook = jnp.asarray(bits * codebook_scale * 2 - codebook_scale)
         distance = -2.0 * jnp.einsum("...id,jd->...ij", original_input,
                                      codebook)

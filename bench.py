@@ -247,6 +247,10 @@ def main():
         # int4 weights, 8.6GB, one chip; per-CFG-half step)
         "r2_recorded_14b_w4a16_step_s_cfg_half": 24.6,
         "r2_recorded_14b_w4a16_sta_step_s_cfg_half": 18.1,
+        # measured by scripts/bench_14b_e2e.py (r4): full 50-step sampling
+        # loop + streamed VAE decode, one chip, same session for both
+        "r4_measured_14b_e2e_s_sta": 1842.2,
+        "r4_measured_14b_e2e_s_dense": 2638.7,
         "device": str(dev),
     }
     extras.update(probe)

@@ -41,21 +41,12 @@ def _rand_int8_dense(key, shape_in, shape_out, prefix=()):
             "bias": jnp.zeros((*prefix, shape_out), jnp.bfloat16)}
 
 
-def main():
-    from scail_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
-    ap.add_argument("--cfg-batch", type=int, default=2)
-    ap.add_argument("--attn", default="pallas", choices=["pallas", "sta"])
-    args = ap.parse_args()
-
-    from scail_tpu.models.dit import DiTConfig, dit_forward
-
-    cfg = DiTConfig(dtype="bfloat16", attn_impl=args.attn)  # 14B defaults
+def build_random_quant_params(cfg, bits):
+    """Random W4A16/W8A16 DiT params for the given config: dense layers are
+    packed-int weights + scales (never materialized at f32), everything else
+    small bf16.  Shared by bench_14b_quant.py and bench_14b_e2e.py."""
     h, inner, L = cfg.hidden_size, cfg.inner_hidden_size, cfg.num_layers
-    mk = _rand_int4_dense if args.bits == 4 else _rand_int8_dense
+    mk = _rand_int4_dense if bits == 4 else _rand_int8_dense
     keys = iter(jax.random.split(jax.random.PRNGKey(0), 32))
 
     def small(shape):
@@ -105,6 +96,23 @@ def main():
             "clip_k_norm": {"scale": jnp.ones((L, h))},
         },
     }
+    return params
+
+
+def main():
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
+    ap.add_argument("--cfg-batch", type=int, default=2)
+    ap.add_argument("--attn", default="pallas", choices=["pallas", "sta"])
+    args = ap.parse_args()
+
+    from scail_tpu.models.dit import DiTConfig, dit_forward
+
+    cfg = DiTConfig(dtype="bfloat16", attn_impl=args.attn)  # 14B defaults
+    params = build_random_quant_params(cfg, args.bits)
     nbytes = sum(x.nbytes for x in jax.tree.leaves(params))
     print(f"param bytes: {nbytes / 1e9:.2f} GB (bits={args.bits})", flush=True)
 

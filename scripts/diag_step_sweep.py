@@ -1,0 +1,75 @@
+"""Single-session save_frac sweep for the full training step (round 4).
+
+Step @ save_attn_frac 0.7 measured 18.38 s (47.1% 3xfwd) with the probe
+at 139.6 TF/s (70.9% of nominal peak).  More saved attention outputs =
+less bwd recompute (attn is ~77% of fwd FLOPs); sweep until OOM, and
+time mode=grad at the winner to isolate the optimizer cost.
+
+Usage: python scripts/diag_step_sweep.py
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def probe(tag):
+    n, chain = 8192, 16
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+    b = b / jnp.sqrt(jnp.float32(n)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def mm_chain(a, b):
+        return jax.lax.fori_loop(
+            0, chain, lambda i, x: jax.lax.dot(
+                x, b, preferred_element_type=jnp.bfloat16), a)
+
+    _ = np.asarray(mm_chain(a, b)[0, :2])
+    t0 = time.perf_counter()
+    out = mm_chain(a, b)
+    _ = np.asarray(out[0, :2])
+    dt = time.perf_counter() - t0
+    tf = chain * 2 * n ** 3 / dt / 1e12
+    print(f"probe[{tag}]: {tf:.1f} TF/s ({tf / 197 * 100:.1f}%)", flush=True)
+
+
+def bench_mode(mode, policy, save_frac, iters=2):
+    import bench_train_step
+    args = argparse.Namespace(
+        iters=iters, no_remat=False, frames=81, optimizer="adafactor",
+        mode=mode, remat_policy=policy, save_frac=save_frac, attn_impl=None)
+    try:
+        rep = bench_train_step.run(args)
+    except Exception as e:
+        print(f"{mode} {policy}/{save_frac}: FAILED {repr(e)[:120]}",
+              flush=True)
+        return None
+    print(f"{mode} {policy}/{save_frac}: {rep['value']} s "
+          f"(3xfwd mfu {rep['vs_baseline'] * 100:.1f}%)", flush=True)
+    return rep["value"]
+
+
+def main():
+    from scail_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    probe("start")
+    for frac in (0.85, 0.95):
+        bench_mode("step", "save_attn_frac", frac)
+    bench_mode("step", "save_attn", 0.5)  # frac unused by this policy
+    probe("mid")
+    bench_mode("grad", "save_attn_frac", 0.85)
+    probe("end")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,35 +110,12 @@ def _bench_inference(on_tpu, dev):
 
 
 def _calibration_probe(peak_tflops: float = 197.0):
-    """In-session chip-state calibration: a pure bf16 matmul chain (the
-    cleanest MXU roofline) measured in the SAME process as the bench.
-    The recorded rounds drift bimodally (r01 8899.6 ms ~= r03 8894.4 ms
-    across very different code, vs r02 7840 ms); probe_frac_of_peak turns
-    that from anecdote into data -- `mfu_normalized` is the step MFU
-    divided by the fraction of peak the chip gives a bare matmul TODAY,
-    so a code regression separates from a slow-chip day."""
-    n, chain = 8192, 16
-    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
-    # spectral norm ~1 keeps the chain bounded (inf/nan-free MXU timing)
-    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
-    b = (b / jnp.sqrt(jnp.float32(n)).astype(jnp.bfloat16))
+    """In-session chip-state calibration (`mfu_normalized` = step MFU /
+    probe_frac_of_peak, so a code regression separates from a slow-chip
+    day).  Single shared implementation: utils/benchmarking.py."""
+    from scail_tpu.utils.benchmarking import calibration_probe
 
-    @jax.jit
-    def mm_chain(a, b):
-        return jax.lax.fori_loop(
-            0, chain, lambda i, x: jax.lax.dot(
-                x, b, preferred_element_type=jnp.bfloat16), a)
-
-    _ = np.asarray(mm_chain(a, b)[0, :2])     # compile + warmup barrier
-    t0 = time.perf_counter()
-    out = mm_chain(a, b)
-    _ = np.asarray(out[0, :2])
-    dt = time.perf_counter() - t0
-    tflops = chain * 2 * n ** 3 / dt / 1e12
-    return {
-        "probe_matmul_tflops": round(tflops, 1),
-        "probe_frac_of_peak": round(tflops / peak_tflops, 4),
-    }
+    return calibration_probe(peak_tflops)
 
 
 def _bench_train_step(attn_impl=None):

@@ -31,14 +31,13 @@ from scail_tpu.autoencoding.regularizers import init_lfq, lfq_quantize
 # primitives
 # ---------------------------------------------------------------------------
 def _uconv(key, shape, fan_in):
-    """torch Conv default init (kaiming-uniform, a=sqrt(5)) in the given
-    kernel shape (..., I, O)."""
+    """torch Conv default init in the given kernel shape (..., I, O):
+    kaiming_uniform_(a=sqrt(5)) reduces to U(+-1/sqrt(fan_in)) --
+    gain sqrt(2/(1+5)) x sqrt(3/fan_in) = 1/sqrt(fan_in) exactly."""
     bound = 1.0 / math.sqrt(fan_in)
     kk, kb = jax.random.split(key)
     return {
-        "kernel": jax.random.uniform(kk, shape, jnp.float32,
-                                     -math.sqrt(3.0) * bound,
-                                     math.sqrt(3.0) * bound),
+        "kernel": jax.random.uniform(kk, shape, jnp.float32, -bound, bound),
         "bias": jax.random.uniform(kb, (shape[-1],), jnp.float32,
                                    -bound, bound),
     }
@@ -175,13 +174,10 @@ def time_up(p, x):
     return y.reshape(b, 2 * t, h, w, c2)
 
 
-def _layer_norm(p, x, eps: float = 1e-5):
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(axis=-1, keepdims=True)
-    var = xf.var(axis=-1, keepdims=True)
-    return (((xf - mu) / jnp.sqrt(var + eps)) * p["scale"]
-            + p["bias"]).astype(x.dtype)
-
+# NOTE: there is deliberately no layer-norm helper here -- encode() skips
+# the reference's final_norm for parity (the reference's own layer walk
+# zip-truncates it out; see the comment inside encode), and only its
+# params are kept for state_dict compatibility.
 
 # ---------------------------------------------------------------------------
 # the tokenizer

@@ -47,14 +47,14 @@ def _group_norm(p, x, *, groups: int = 32, eps: float = 1e-6):
 
 
 def _kconv(key, k, c_in, c_out):
-    """torch Conv2d default (kaiming-uniform, fan_in) init in HWIO."""
+    """torch Conv2d default init in HWIO: kaiming_uniform_(a=sqrt(5))
+    reduces to U(+-1/sqrt(fan_in)) exactly."""
     fan_in = c_in * k * k
     bound = 1.0 / math.sqrt(fan_in)
     kk, kb = jax.random.split(key)
     return {
         "kernel": jax.random.uniform(kk, (k, k, c_in, c_out), jnp.float32,
-                                     -math.sqrt(3.0) * bound,
-                                     math.sqrt(3.0) * bound),
+                                     -bound, bound),
         "bias": jax.random.uniform(kb, (c_out,), jnp.float32, -bound, bound),
     }
 

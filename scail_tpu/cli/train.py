@@ -144,8 +144,13 @@ def main(argv=None):
     print_rank0(f"dataset: {len(ds)} examples from {args.data_root}")
     # per-host data sharding (configure_data.py:168 dp-sharded loaders):
     # each host feeds its own slice; with identical PRNG keys the global
-    # batch assembles across hosts through the mesh's data axis
-    train_loader, _ = make_loaders(ds, args.batch_size, seed=args.seed,
+    # batch assembles across hosts through the mesh's data axis.
+    # --batch-size is the PER-MICROBATCH size (deepspeed semantics): one
+    # Trainer step consumes grad_accum x batch_size examples, reshaped
+    # below to a leading (grad_accum, ...) axis the Trainer slices.
+    accum = max(1, args.grad_accum)
+    train_loader, _ = make_loaders(ds, args.batch_size * accum,
+                                   seed=args.seed,
                                    rank=jax.process_index(),
                                    world_size=jax.process_count(),
                                    start_iter=int(trainer.state["step"]))
@@ -157,6 +162,16 @@ def main(argv=None):
             batch = dict(batch)
             batch["crossattn"] = cond["crossattn"]
         arrs = {k: v for k, v in batch.items() if not isinstance(v, list)}
+
+        def add_accum(x):
+            x = np.asarray(x)
+            if accum > 1:
+                # (accum*bs, ...) -> (accum, bs, ...); the Trainer's
+                # microbatch loop slices axis 0 (engine.py _train_step)
+                x = x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+            return x
+
+        arrs = {k: add_accum(v) for k, v in arrs.items()}
         if mesh is not None and jax.process_count() > 1:
             # multi-host: each host's loader yields its dp slice; assemble
             # GLOBAL arrays over the mesh's data axis (the reference's
@@ -164,9 +179,8 @@ def main(argv=None):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def glob(x):
-                x = np.asarray(x)
-                # with grad accumulation the dp batch dim is axis 1
-                axis = 1 if args.grad_accum > 1 else 0
+                # the dp batch dim is axis 1 when the accum axis leads
+                axis = 1 if accum > 1 else 0
                 spec = [None] * x.ndim
                 spec[axis] = "data"
                 return jax.make_array_from_process_local_data(

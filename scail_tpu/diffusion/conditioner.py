@@ -84,7 +84,13 @@ class GeneralConditioner:
         """One embedder's contribution, concatenated into `output`
         (modules.py:150-198 get_single_embedding)."""
         apply_ucg = emb.ucg_rate > 0.0 and not disable_ucg
-        if emb.legacy_ucg_val is not None and apply_ucg:
+        # the legacy string-swap has NO rate gate in the reference: with an
+        # explicit cond_or_not (correlated mode) surely_get_ucg_val swaps
+        # wherever the joint draw says so, even at ucg_rate == 0
+        # (modules.py:140-156); the tensor-zeroing path below keeps its
+        # rate > 0 gate in both modes (modules.py:167).
+        if (emb.legacy_ucg_val is not None and not disable_ucg
+                and (cond_or_not is not None or emb.ucg_rate > 0.0)):
             batch = self._maybe_legacy_ucg(emb, batch, cond_or_not)
         emb_out = emb(batch[emb.input_key])
         if not isinstance(emb_out, (list, tuple)):

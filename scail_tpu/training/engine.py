@@ -58,24 +58,37 @@ class TrainConfig:
 
 def _opt_shardings_like(opt_struct, params, param_shardings):
     """Sharding pytree for an optax state: optax builds its param-shaped
-    moments via tree_map over the params, so any subtree with the params'
-    exact treedef + leaf shapes is a param clone and adopts the param
-    shardings; everything else (scalar counts, masked subtrees) is
-    replicated on the params' mesh."""
+    moments via tree_map over the params, so any subtree that mirrors the
+    params' container structure (same dict keys, matching leaf shapes) is
+    a param clone and adopts the param shardings.  Clones may be PARTIAL:
+    multi_transform/masked replace frozen leaves with MaskedNode, so the
+    match recurses per key and only non-matching positions (scalar
+    counts, MaskedNode stubs) fall back to replicated."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    pdef = jax.tree.structure(params)
-    pshapes = [tuple(l.shape) for l in jax.tree.leaves(params)]
     mesh = jax.tree.leaves(param_shardings)[0].mesh
     replicated = NamedSharding(mesh, PartitionSpec())
 
+    def clone_rec(node, pnode, pshard):
+        """Sharding tree if `node` is a (possibly masked) clone of the
+        params subtree `pnode`, else None."""
+        if isinstance(node, dict) and isinstance(pnode, dict):
+            if set(node) != set(pnode):
+                return None
+            return {k: _or_replicated(clone_rec(node[k], pnode[k], pshard[k]))
+                    for k in node}
+        if (hasattr(node, "shape") and hasattr(pnode, "shape")
+                and tuple(node.shape) == tuple(pnode.shape)):
+            return pshard
+        return None
+
+    def _or_replicated(x):
+        return replicated if x is None else x
+
     def rec(node):
-        try:
-            if (jax.tree.structure(node) == pdef and
-                    [tuple(l.shape) for l in jax.tree.leaves(node)] == pshapes):
-                return param_shardings
-        except Exception:
-            pass
+        c = clone_rec(node, params, param_shardings)
+        if c is not None:
+            return c
         if hasattr(node, "_fields"):            # optax NamedTuple states
             return type(node)(*[rec(getattr(node, f)) for f in node._fields])
         if isinstance(node, (tuple, list)):

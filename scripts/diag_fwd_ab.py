@@ -18,33 +18,15 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 FWD_TFLOPS_B1 = 568.78
 
 
 def probe(tag):
-    n, chain = 8192, 16
-    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
-    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
-    b = b / jnp.sqrt(jnp.float32(n)).astype(jnp.bfloat16)
+    from scail_tpu.utils.benchmarking import calibration_probe
 
-    @jax.jit
-    def mm_chain(a, b):
-        return jax.lax.fori_loop(
-            0, chain, lambda i, x: jax.lax.dot(
-                x, b, preferred_element_type=jnp.bfloat16), a)
-
-    _ = np.asarray(mm_chain(a, b)[0, :2])
-    t0 = time.perf_counter()
-    out = mm_chain(a, b)
-    _ = np.asarray(out[0, :2])
-    dt = time.perf_counter() - t0
-    tf = chain * 2 * n ** 3 / dt / 1e12
-    print(f"probe[{tag}]: {tf:.1f} TF/s ({tf / 197 * 100:.1f}% of peak)",
-          flush=True)
+    r = calibration_probe()
+    print(f"probe[{tag}]: {r['probe_matmul_tflops']:.1f} TF/s "
+          f"({r['probe_frac_of_peak'] * 100:.1f}% of peak)", flush=True)
 
 
 def bench_mode(mode, save_frac, iters=3, attn_impl=None):

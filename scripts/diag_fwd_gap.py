@@ -22,7 +22,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 FWD_TFLOPS_B1 = 568.78  # 30-layer 1.3B fwd at S=48832 (bench accounting)
 
@@ -51,21 +50,12 @@ def main():
     from scail_tpu.models.dit import (DiTConfig, dit_forward, init_dit_params,
                                       split_layer_params)
 
-    # --- A: probe
-    k = jax.random.PRNGKey(0)
-    a = jax.random.normal(k, (8192, 8192), jnp.bfloat16)
+    # --- A: probe (shared implementation, utils/benchmarking.py)
+    from scail_tpu.utils.benchmarking import calibration_probe
 
-    @jax.jit
-    def chain(a):
-        x = a
-        for _ in range(8):
-            x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
-        return x
-
-    t = timeit(chain, a, iters=args.iters)
-    probe = 8 * 2 * 8192**3 / t / 1e12
-    print(f"A probe: {probe:.1f} TF/s ({probe / 197 * 100:.1f}% of peak)",
-          flush=True)
+    r = calibration_probe()
+    print(f"A probe: {r['probe_matmul_tflops']:.1f} TF/s "
+          f"({r['probe_frac_of_peak'] * 100:.1f}% of peak)", flush=True)
 
     b_, T, H, W = 1, 21, 64, 112
     s_txt, s_clip = 512, 257

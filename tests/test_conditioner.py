@@ -135,6 +135,23 @@ def test_correlated_ucg_disabled_at_inference():
     assert float(np.asarray(c["vector"]).min()) == 1.0  # ucg off for (c, uc)
 
 
+def test_correlated_legacy_swap_ignores_rate_gate():
+    """The reference's surely_get_ucg_val has NO ucg_rate gate
+    (modules.py:140-146): a correlated legacy embedder with ucg_rate=0
+    still swaps wherever the joint draw says drop; the tensor-zeroing
+    path keeps its rate > 0 gate."""
+    cond = GeneralConditioner(
+        emb_models=[
+            {"target": "tests.fake.TxtEmb", "input_key": "txt",
+             "ucg_rate": 0.0, "legacy_ucg_val": ""},
+            {"target": "tests.fake.IdVec", "input_key": "v", "ucg_rate": 0.1},
+        ],
+        cor_embs=[0, 1], cor_p=[0.0, 1.0, 0.0, 0.0])  # idx 1: drop #0, keep #1
+    out = cond({"txt": ["hello", "hey"], "v": np.ones((2, 2), np.float32)})
+    assert float(jnp.abs(out["crossattn"]).max()) == 0.0  # swapped to ""
+    assert float(np.asarray(out["vector"]).min()) == 1.0  # kept
+
+
 def test_correlated_ucg_golden_vs_reference():
     """Bit-exact parity with the reference GeneralConditioner's correlated
     path (modules.py:199-213): same RandomState stream -> same joint

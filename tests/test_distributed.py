@@ -60,6 +60,38 @@ def test_trainer_applies_param_shardings():
     assert bool(np.isfinite(float(metrics["loss"])))
 
 
+def test_trainer_shards_masked_opt_state():
+    """With train_mask (multi_transform wraps the moments and swaps frozen
+    leaves for MaskedNode), the trainable moments must STILL inherit the
+    param shardings — a structural treedef match would silently replicate
+    every moment and defeat the ZeRO layout."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from scail_tpu.training.engine import TrainConfig, Trainer
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    params = {"w": jnp.ones((8, 16)), "frozen": jnp.ones((4,))}
+    shardings = {"w": NamedSharding(mesh, P(None, "model")),
+                 "frozen": NamedSharding(mesh, P())}
+    mask = {"w": True, "frozen": False}
+
+    def loss_fn(p, key, batch):
+        return jnp.mean((batch["x"] @ p["w"]) ** 2) + jnp.sum(p["frozen"]) * 0.0
+
+    tr = Trainer(params, loss_fn, TrainConfig(train_iters=1, warmup_iters=1),
+                 param_shardings=shardings, train_mask=mask)
+    mu_shardings = [x.sharding.spec for x in jax.tree.leaves(tr.state["opt_state"])
+                    if hasattr(x, "shape") and x.shape == (8, 16)]
+    assert mu_shardings and all(s == P(None, "model") for s in mu_shardings)
+    state, metrics = tr._jit_step(tr.state, {"x": jnp.ones((4, 8))})
+    # frozen leaf untouched, trainable leaf still sharded
+    np.testing.assert_array_equal(np.asarray(state["params"]["frozen"]),
+                                  np.ones((4,), np.float32))
+    assert state["params"]["w"].sharding.spec == P(None, "model")
+    assert bool(np.isfinite(float(metrics["loss"])))
+
+
 @pytest.fixture
 def mh_data_root(tmp_path):
     from PIL import Image

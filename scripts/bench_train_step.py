@@ -186,33 +186,61 @@ def run(args):
         _ = float(loss)
         step_s = (time.perf_counter() - t0) / args.iters
 
-    # standard training-FLOPs convention: 3x a forward
+    # standard training-FLOPs convention: 3x a forward (1x for mode=fwd)
     Hp, Wp = H // 2, W // 2
     S = Hp * Wp + T * Hp * Wp + T * (Hp // 2) * (Wp // 2)
     h, inner, L = cfg.hidden_size, cfg.inner_hidden_size, cfg.num_layers
-    per_layer = (2 * S * 3 * h * h + 2 * S * h * h + 4 * S * S * h
+    attn_pl = 4 * S * S * h + 4 * S * (s_txt + s_clip) * h
+    per_layer = (2 * S * 3 * h * h + 2 * S * h * h
                  + 2 * S * h * h + 2 * s_txt * 2 * h * h
-                 + 2 * s_clip * 2 * h * h + 4 * S * (s_txt + s_clip) * h
+                 + 2 * s_clip * 2 * h * h + attn_pl
                  + 2 * S * h * h + 2 * S * 2 * h * inner)
     fwd = b * L * per_layer
-    tflops = 3 * fwd / step_s / 1e12
+    counted = fwd * (1 if args.mode == "fwd" else 3)
+    tflops = counted / step_s / 1e12
+    extras = {
+        "seq_tokens": S,
+        "params": n_params,
+        "achieved_tflops_3xfwd": round(tflops, 1),
+        "train_mfu_vs_peak": round(tflops / peak_tflops, 4),
+        "remat": cfg.remat,
+        "remat_policy": cfg.remat_policy,
+        "optimizer": args.optimizer,
+        "attn_impl": cfg.attn_impl,
+        "loss": float(loss),
+        "device": str(dev),
+    }
+    if cfg.attn_impl != "sta":
+        # EXECUTED flops (the bwd ceiling identity, docs/TRAINING.md):
+        # flash bwd runs 7 matmuls per tile = 3.5x its fwd, remat re-runs
+        # (L-k) full + k dense-only layers; the 3xfwd convention books
+        # none of that.  executed/time is the rate to compare against the
+        # calibration probe.
+        attn_f = b * L * attn_pl
+        dense_f = fwd - attn_f
+        if args.mode == "fwd":
+            executed = fwd
+        else:
+            if cfg.remat:
+                if cfg.remat_policy in ("save_attn", "offload_attn"):
+                    k_head = L
+                elif cfg.remat_policy == "save_attn_frac":
+                    from scail_tpu.models.dit import save_attn_head_layers
+                    k_head = save_attn_head_layers(cfg)
+                else:
+                    k_head = 0
+                rec = (k_head / L) * dense_f + ((L - k_head) / L) * fwd
+            else:
+                rec = 0.0
+            executed = fwd + rec + 2 * dense_f + 3.5 * attn_f
+        extras["executed_tflops"] = round(executed / step_s / 1e12, 1)
+        extras["executed_over_counted"] = round(executed / counted, 3)
     return {
         "metric": "dit_1p3b_train_step_s_512p" if on_tpu else "train_smoke_s",
         "value": round(step_s, 3),
         "unit": "s",
         "vs_baseline": round(tflops / peak_tflops, 4),
-        "extras": {
-            "seq_tokens": S,
-            "params": n_params,
-            "achieved_tflops_3xfwd": round(tflops, 1),
-            "train_mfu_vs_peak": round(tflops / peak_tflops, 4),
-            "remat": cfg.remat,
-            "remat_policy": cfg.remat_policy,
-            "optimizer": args.optimizer,
-            "attn_impl": cfg.attn_impl,
-            "loss": float(loss),
-            "device": str(dev),
-        },
+        "extras": extras,
     }
 
 

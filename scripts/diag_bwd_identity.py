@@ -75,7 +75,8 @@ def bench_mode(mode, iters):
         attn_impl=None)
     rep = bench_train_step.run(args)
     print(f"mode={mode}: {rep['value']} s "
-          f"(3xfwd mfu {rep['vs_baseline'] * 100:.1f}%)", flush=True)
+          f"(mfu {rep['vs_baseline'] * 100:.1f}%, executed "
+          f"{rep['extras'].get('executed_tflops', 0):.1f} TF/s)", flush=True)
     return rep["value"]
 
 

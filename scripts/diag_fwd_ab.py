@@ -39,7 +39,7 @@ def bench_mode(mode, save_frac, iters=3, attn_impl=None):
     rep = bench_train_step.run(args)
     wall = time.perf_counter() - t0
     print(f"bench mode={mode} save_frac={save_frac}: {rep['value']} s "
-          f"(mfu_3xfwd {rep['vs_baseline'] * 100:.1f}%, wall {wall:.0f}s)",
+          f"(mfu {rep['vs_baseline'] * 100:.1f}%, wall {wall:.0f}s)",
           flush=True)
     return rep["value"]
 

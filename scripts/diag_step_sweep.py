@@ -36,7 +36,7 @@ def bench_mode(mode, policy, save_frac, iters=2):
               flush=True)
         return None
     print(f"{mode} {policy}/{save_frac}: {rep['value']} s "
-          f"(3xfwd mfu {rep['vs_baseline'] * 100:.1f}%)", flush=True)
+          f"(mfu {rep['vs_baseline'] * 100:.1f}%)", flush=True)
     return rep["value"]
 
 

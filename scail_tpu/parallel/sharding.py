@@ -56,12 +56,35 @@ def specs_for_tree(tree, rules: PathRules):
     )
 
 
+def global_put(tree, shardings):
+    """device_put a pytree onto NamedShardings, multi-process safe.
+
+    Under multiple processes, jax.device_put of a host value to a
+    non-fully-addressable sharding runs multihost_utils.assert_equal per
+    LEAF (dispatch.py _device_put_sharding_impl) — one gloo context +
+    allgather per leaf, hundreds of tiny lockstep collectives whose 30 s
+    rendezvous deadline flakes on slow hosts.  Our callers guarantee the
+    host values are identical on every process (same PRNG init /
+    converted checkpoint), so build the global arrays with
+    make_array_from_callback instead: zero collectives, each process
+    fills only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    import numpy as np
+
+    def put(v, sh):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, sh, lambda idx: v[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 def shard_tree(tree, rules: PathRules, mesh: Mesh):
     """Device-put every leaf with its NamedSharding."""
     specs = specs_for_tree(tree, rules)
-    return jax.tree.map(
-        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), tree, specs
-    )
+    return global_put(
+        tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                           is_leaf=lambda x: isinstance(x, P)))
 
 
 def with_sharding_constraint(x, spec: P, mesh: Mesh = None):

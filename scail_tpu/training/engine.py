@@ -132,7 +132,9 @@ class Trainer:
             # param-tree clone inside the optax state (mu/nu/ema shadow)
             # gets the param shardings, scalars replicate -- the role of
             # deepspeed_training.py:326-336.
-            params = jax.device_put(params, param_shardings)
+            from scail_tpu.parallel.sharding import global_put
+
+            params = global_put(params, param_shardings)
             opt_struct = jax.eval_shape(self.tx.init, params)
             opt_shardings = _opt_shardings_like(
                 opt_struct, params, param_shardings)

@@ -153,6 +153,21 @@ def test_train_cli_two_process_distributed(tmp_path, mh_data_root):
         eng_mod.VideoDiffusionEngine.shared_step = patched
 
         from scail_tpu.cli.train import main
+
+        # file barrier AFTER the heavy imports: on a loaded single-core
+        # host the two ranks' import phases can skew >30s, which trips
+        # gloo's internal GetKeyValue deadline inside
+        # jax.distributed.initialize (observed DEADLINE_EXCEEDED under a
+        # concurrent suite); synchronizing here makes init start
+        # simultaneously regardless of load
+        import pathlib, time
+        sync = pathlib.Path(sys.argv[3])
+        (sync / ("r" + os.environ["RANK"] + ".ready")).touch()
+        t0 = time.time()
+        while len(list(sync.glob("r*.ready"))) < 2:
+            assert time.time() - t0 < 600, "peer never reached the barrier"
+            time.sleep(0.2)
+
         main(["--base", sys.argv[1], "--data-root", sys.argv[2],
               "--train-iters", "2", "--image-size", "32", "32",
               "--num-frames", "5", "--warmup-iters", "1",
@@ -161,26 +176,48 @@ def test_train_cli_two_process_distributed(tmp_path, mh_data_root):
         assert jax.device_count() == 2, jax.device_count()
         print("MH_OK", jax.process_index(), flush=True)
     """)
-    port = _free_port()
-    procs = []
-    for rank in range(2):
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-        env.update(MASTER_ADDR="localhost", MASTER_PORT=str(port),
-                   WORLD_SIZE="2", RANK=str(rank))
-        procs.append(subprocess.Popen(
-            [sys.executable, "-u", "-c", driver, str(cfg_path), mh_data_root],
-            cwd=REPO, env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True))
-    outs = []
-    for rank, p in enumerate(procs):
-        try:
-            out, err = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank}:\n{err[-4000:]}"
-        outs.append(out)
-    for rank, out in enumerate(outs):
-        assert f"MH_OK {rank}" in out, out[-2000:]
+    def attempt(sync_dir):
+        port = _free_port()
+        procs = []
+        for rank in range(2):
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+            env.update(MASTER_ADDR="localhost", MASTER_PORT=str(port),
+                       WORLD_SIZE="2", RANK=str(rank))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-u", "-c", driver, str(cfg_path),
+                 mh_data_root, str(sync_dir)],
+                cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        outs, errs = [], []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+            errs.append(err)
+        ok = (all(p.returncode == 0 for p in procs)
+              and all(f"MH_OK {r}" in outs[r] for r in range(2)))
+        return ok, outs, errs
+
+    sync1 = tmp_path / "sync1"
+    sync1.mkdir()
+    ok, outs, errs = attempt(sync1)
+    if not ok:
+        # gloo's KV rendezvous inside CPU collectives has a HARDCODED 30s
+        # deadline; on this single-core box a COLD persistent-compile
+        # cache makes the two ranks' jit compiles skew past it (warm
+        # caches pass reliably).  Retry once for exactly that signature
+        # -- the first attempt populated the cache; anything else fails
+        # loudly.
+        blob = "\n".join(errs)
+        transient = ("DEADLINE_EXCEEDED" in blob
+                     or "Shutdown barrier" in blob)
+        assert transient, f"non-timeout failure:\n{blob[-4000:]}"
+        sync2 = tmp_path / "sync2"
+        sync2.mkdir()
+        ok, outs, errs = attempt(sync2)
+        assert ok, f"failed twice:\n{errs[0][-2000:]}\n{errs[1][-2000:]}"

@@ -136,13 +136,47 @@ def _bench_train_step(attn_impl=None):
         attn_impl=attn_impl)
     rep = bench_train_step.run(args)
     suffix = f"_{attn_impl}" if attn_impl else ""
-    out = {
-        f"train_step_s{suffix}": rep["value"],
-        f"train_mfu_vs_peak{suffix}": rep["vs_baseline"],
-    }
-    if not attn_impl:
+    out = {f"train_step_s{suffix}": rep["value"]}
+    if attn_impl == "sta":
+        # DENSE-EQUIVALENT MFU: the dense 3xfwd FLOP count over the
+        # sparse step's time (the step deliberately skips most of that
+        # work) -- useful as a speedup-vs-dense figure, NOT a real MFU
+        out["train_denseq_mfu_sta"] = rep["vs_baseline"]
+    else:
+        out["train_mfu_vs_peak"] = rep["vs_baseline"]
         out["train_tflops_3xfwd"] = rep["extras"]["achieved_tflops_3xfwd"]
+    # rate of work actually performed (bwd 3.5x identity + remat
+    # recompute + sta executed pairs; scripts/bench_train_step.py)
+    out[f"train_executed_tflops{suffix}"] = rep["extras"]["executed_tflops"]
+    out[f"train_executed_over_counted{suffix}"] = (
+        rep["extras"]["executed_over_counted"])
+    if "sta_attn_exec_frac" in rep["extras"]:
+        out["sta_attn_exec_frac"] = rep["extras"]["sta_attn_exec_frac"]
     return out
+
+
+def _bench_long_clip(attn: str):
+    """Measured long-video tiled sampling (RFSamplerLong, 161 frames /
+    41 latent / 512p, 3 overlapping 21-frame tiles) via the shared
+    scripts/bench_long_clip.run -- host-driven per tiled step."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    import bench_long_clip
+
+    args = argparse.Namespace(
+        steps=50, measure_steps=2, frames=161, height=512, width=896,
+        tile=21, overlap=8, attn=attn)
+    rep = bench_long_clip.run(args)
+    suffix = "_sta" if attn == "sta" else ""
+    return {
+        f"long_clip_s{suffix}": rep[f"long_clip_s{suffix}"],
+        f"long_clip_tiled_step_s{suffix}": rep["tiled_step_s"],
+        f"long_clip_overlap_overhead{suffix}":
+            rep["overlap_overhead_vs_ntiles"],
+    }
 
 
 def _bench_vae_decode():
@@ -216,18 +250,9 @@ def main():
         "achieved_tflops": round(tflops, 1),
         "mfu_vs_peak": round(mfu, 4),
         "derived_sec_per_clip_50step": round(step_ms * 50 / 1000.0, 2),
-        # measured by scripts/bench_e2e.py on the r2 v5e chip (1.3B, 512p,
-        # 50 steps + streamed VAE decode); rerun bench_e2e to refresh
-        "r2_recorded_e2e_s_dense_1p3b": 397.1,
-        "r2_recorded_e2e_s_sta_1p3b": 240.7,
-        # measured by scripts/bench_14b_quant.py on the r2 chip (W4A16
-        # int4 weights, 8.6GB, one chip; per-CFG-half step)
-        "r2_recorded_14b_w4a16_step_s_cfg_half": 24.6,
-        "r2_recorded_14b_w4a16_sta_step_s_cfg_half": 18.1,
-        # measured by scripts/bench_14b_e2e.py (r4): full 50-step sampling
-        # loop + streamed VAE decode, one chip, same session for both
-        "r4_measured_14b_e2e_s_sta": 1842.2,
-        "r4_measured_14b_e2e_s_dense": 2638.7,
+        # Historical measurements (14B e2e, W4A16, prior-round e2e) live
+        # in README.md's dated RECORDED table -- this artifact carries
+        # only numbers measured in THIS session plus the probe.
         "device": str(dev),
     }
     extras.update(probe)
@@ -250,6 +275,11 @@ def main():
             extras.update(_bench_vae_decode())
         except Exception as e:  # pragma: no cover
             extras["vae_decode_error"] = repr(e)[:200]
+        for attn in ("pallas", "sta"):
+            try:
+                extras.update(_bench_long_clip(attn))
+            except Exception as e:  # pragma: no cover
+                extras[f"long_clip_{attn}_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": label,

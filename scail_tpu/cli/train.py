@@ -149,6 +149,13 @@ def main(argv=None):
     # Trainer step consumes grad_accum x batch_size examples, reshaped
     # below to a leading (grad_accum, ...) axis the Trainer slices.
     accum = max(1, args.grad_accum)
+    per_host = len(ds) // max(1, jax.process_count())
+    if per_host < args.batch_size * accum:
+        raise SystemExit(
+            f"dataset too small: {per_host} examples/host < batch_size x "
+            f"grad_accum = {args.batch_size}x{accum}; the sampler would "
+            f"yield zero batches per epoch and training would hang in "
+            f"next(data_iter)")
     train_loader, _ = make_loaders(ds, args.batch_size * accum,
                                    seed=args.seed,
                                    rank=jax.process_index(),

@@ -34,16 +34,58 @@ import numpy as np
 from scail_tpu.models.dit import DiTConfig
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch .pt/.pth into numpy arrays without requiring CUDA."""
+def _tensor_to_numpy(t, dtype_policy: str = "preserve"):
+    """torch tensor -> numpy, zero-copy where possible.
+
+    `preserve` keeps the stored dtype (bf16 becomes ml_dtypes.bfloat16 via a
+    uint16 view -- torch cannot `.numpy()` bf16 directly); `float32` is the
+    legacy upcasting behaviour.  Both paths return views of the torch
+    storage when layout allows, so a mmap-backed load stays file-backed and
+    peak RSS is set by what downstream converters copy, not by the raw
+    checkpoint size (sat/training/model_io.py:260-327 loads ~28 GB for the
+    released 14B artifact -- upcasting that to fp32 would OOM any normal
+    host)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if not hasattr(t, "detach"):
+        return t
+    t = t.detach()
+    if dtype_policy == "float32" and t.is_floating_point():
+        return t.float().numpy()
+    if t.dtype == torch.bfloat16:
+        import ml_dtypes
+
+        if not t.is_contiguous():
+            t = t.contiguous()
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return t.numpy()
+
+
+def load_torch_state_dict(
+    path: str, dtype_policy: str = "preserve", mmap: bool = True
+) -> Dict[str, np.ndarray]:
+    """Load a torch .pt/.pth into numpy arrays without requiring CUDA.
+
+    Memory-maps the checkpoint when the serialization format allows (the
+    zipfile format every torch>=1.6 save uses), so untouched tensors cost
+    no resident memory and the OS can evict pages under pressure.  Falls
+    back to a regular load for legacy files; even there the returned
+    arrays are views of the torch storages (no fp32 double-buffering)."""
+    import torch
+
+    sd = None
+    if mmap:
+        try:
+            sd = torch.load(path, map_location="cpu", weights_only=False, mmap=True)
+        except (RuntimeError, TypeError, ValueError):
+            sd = None  # legacy (non-zipfile) serialization: plain load below
+    if sd is None:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "module" in sd:
         sd = sd["module"]
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.float().numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return {k: _tensor_to_numpy(v, dtype_policy) for k, v in sd.items()}
 
 
 def resolve_latest_checkpoint(load_dir: str) -> str:

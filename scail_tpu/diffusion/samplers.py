@@ -146,6 +146,25 @@ class RFSamplerLong(RFSampler):
         cfg_scale = default(scale, self.guider.scale)
         b = x.shape[0]
 
+        sig_pairs = jnp.asarray(np.stack([sigmas[:-1], sigmas[1:]], axis=1))
+
+        def step(x, pair):
+            return self.long_step(denoise_fn, x, pair, tile_indices, cond,
+                                  uc, cfg_scale=cfg_scale, **kw), None
+
+        x, _ = jax.lax.scan(step, x.astype(jnp.float32), sig_pairs)
+        return x
+
+    def long_step(self, denoise_fn, x, pair, tile_indices, cond, uc,
+                  cfg_scale=None, **kw):
+        """One tiled denoise step (sampling.py:1025-1084): every
+        consecutive tile pair (k, k+1) is denoised with its own pose
+        conditioning `cond['smpl_tiled'][:, k]` and blended with a
+        triangle weight window.  Exposed so benchmarks can host-drive the
+        50-step loop one jitted step at a time (the axon tunnel kills
+        multi-minute device programs)."""
+        cfg_scale = default(cfg_scale, self.guider.scale)
+        b = x.shape[0]
         smpl_tiled = cond["smpl_tiled"]  # (b, n_tiles, T_tile, C, Hp, Wp)
         base_c = {k: v for k, v in cond.items() if k != "smpl_tiled"}
         base_uc = {k: v for k, v in uc.items() if k != "smpl_tiled"}
@@ -154,9 +173,7 @@ class RFSamplerLong(RFSampler):
         w = (np.arange(seg_len) + 0.5) * 2.0 / seg_len
         w = np.minimum(w, 2.0 - w).astype(np.float32)  # triangle window
         weight = jnp.asarray(w)
-
         tiles = [jnp.asarray(np.asarray(t, np.int32)) for t in tile_indices]
-        sig_pairs = jnp.asarray(np.stack([sigmas[:-1], sigmas[1:]], axis=1))
 
         def denoise_tile(x_tile, s_in, smpl_tile):
             c = dict(base_c)
@@ -169,22 +186,18 @@ class RFSamplerLong(RFSampler):
             v = denoise_fn(x2, s2, merged, cfg_scale=cfg_scale, **kw)
             return self.guider(v.astype(jnp.float32), None, scale=cfg_scale)
 
-        def step(x, pair):
-            sigma, next_sigma = pair[0], pair[1]
-            s_in = jnp.full((b,), sigma, jnp.float32)
-            denoised = jnp.zeros_like(x)
-            wsum = jnp.zeros((x.shape[1],), jnp.float32)
-            for k in range(len(tiles) - 1):
-                for tk, idx in ((k, tiles[k]), (k + 1, tiles[k + 1])):
-                    v = denoise_tile(x[:, idx], s_in, smpl_tiled[:, tk])
-                    denoised = denoised.at[:, idx].add(v * weight[None, :, None, None, None])
-                    wsum = wsum.at[idx].add(weight)
-            denoised = denoised / wsum[None, :, None, None, None]
-            x = x + append_dims(next_sigma - sigma, x.ndim) * denoised
-            return x, None
-
-        x, _ = jax.lax.scan(step, x.astype(jnp.float32), sig_pairs)
-        return x
+        sigma, next_sigma = pair[0], pair[1]
+        s_in = jnp.full((b,), sigma, jnp.float32)
+        denoised = jnp.zeros_like(x)
+        wsum = jnp.zeros((x.shape[1],), jnp.float32)
+        for k in range(len(tiles) - 1):
+            for tk, idx in ((k, tiles[k]), (k + 1, tiles[k + 1])):
+                v = denoise_tile(x[:, idx], s_in, smpl_tiled[:, tk])
+                denoised = denoised.at[:, idx].add(
+                    v * weight[None, :, None, None, None])
+                wsum = wsum.at[idx].add(weight)
+        denoised = denoised / wsum[None, :, None, None, None]
+        return x + append_dims(next_sigma - sigma, x.ndim) * denoised
 
 
 # ---------------------------------------------------------------------------

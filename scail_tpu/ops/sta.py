@@ -568,6 +568,40 @@ def sta_attention(q, k, v, *, grid_thw: Tuple[int, int, int], ref_len: int,
     return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
 
 
+def sta_executed_pairs(grid_thw, ref_len, pose_len, tile, window,
+                       windowed_pose=False, pose_kv_window=0):
+    """Executed (q, kv) dot pairs of sta_attention at this geometry --
+    the honest FLOP count for the sparse step (BENCH executed_tflops).
+    Counts every kv block a table row visits, including the zero-padded
+    ref tail the kernel actually processes.  Divide by s**2
+    (s = ref_len + T*Hp*Wp + pose_len) for the executed-over-dense
+    attention fraction."""
+    T, Hp, Wp = grid_thw
+    sv = T * Hp * Wp
+    n_t, n_h = T // tile[0], Hp // tile[1]
+    ts = tile[0] * tile[1] * Wp
+    if windowed_pose and pose_kv_window and n_h % 4 == 0:
+        n_pb = pose_len // ts
+        pad = (-ref_len) % ts
+        n_rb = (ref_len + pad) // ts
+        table = _window_table(n_t, n_h, window[0], window[1], n_pb, n_rb,
+                              pose_kv_window)
+    else:
+        s_glob = ref_len + pose_len
+        pad = (-s_glob) % ts
+        table = _window_table(n_t, n_h, window[0], window[1], 0,
+                              (s_glob + pad) // ts, 0)
+    row_kv = table.shape[1] * ts            # kv tokens per table row
+    pairs = table.shape[0] * ts * row_kv    # video q tiles
+    s_pad_total = ref_len + sv + pose_len + pad
+    if windowed_pose:
+        pairs += table.shape[0] * (ts // 4) * row_kv  # pose q tiles, same table
+        pairs += ref_len * s_pad_total                # dense ref rows
+    else:
+        pairs += (ref_len + pose_len) * s_pad_total   # dense cond rows
+    return int(pairs)
+
+
 def sta_block_mask(s, grid_thw, ref_len, pose_len, tile, window,
                    windowed_pose=False, pose_kv_window=0):
     """Dense (s, s) boolean mask equivalent to sta_attention's sparsity

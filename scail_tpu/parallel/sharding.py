@@ -10,6 +10,7 @@ output-dim sharded over 'model'; row-parallel == input-dim sharded over
 
 from __future__ import annotations
 
+import os
 import re
 from typing import List, Tuple
 
@@ -71,6 +72,24 @@ def global_put(tree, shardings):
     if jax.process_count() == 1:
         return jax.device_put(tree, shardings)
     import numpy as np
+
+    if os.environ.get("SCAIL_CHECK_GLOBAL_PUT", "0") not in ("", "0"):
+        # Opt-in debug guard for the precondition above: ONE collective
+        # comparing a per-leaf content hash across processes (vs
+        # device_put's per-leaf assert_equal storm).  Costs a full pass
+        # over host memory -- enable when diagnosing replica divergence
+        # (per-host-seeded init, rank-0-only checkpoint load).
+        import hashlib
+
+        from jax.experimental import multihost_utils
+
+        fp = np.array(
+            [int.from_bytes(
+                hashlib.blake2b(np.ascontiguousarray(l).tobytes(),
+                                digest_size=4).digest(), "little")
+             for l in jax.tree.leaves(tree)], np.uint32)
+        multihost_utils.assert_equal(
+            fp, "global_put: host values differ across processes")
 
     def put(v, sh):
         v = np.asarray(v)

@@ -77,6 +77,14 @@ def _opt_shardings_like(opt_struct, params, param_shardings):
                 return None
             return {k: _or_replicated(clone_rec(node[k], pnode[k], pshard[k]))
                     for k in node}
+        if (isinstance(node, (list, tuple)) and isinstance(pnode, (list, tuple))
+                and not hasattr(node, "_fields") and len(node) == len(pnode)):
+            # param subtrees stored as lists/tuples (e.g. tokenizer
+            # enc_layers) mirror the dict branch so their moments keep the
+            # ZeRO layout instead of silently replicating
+            return type(node)(
+                _or_replicated(clone_rec(n, p, s))
+                for n, p, s in zip(node, pnode, pshard))
         if (hasattr(node, "shape") and hasattr(pnode, "shape")
                 and tuple(node.shape) == tuple(pnode.shape)):
             return pshard

@@ -143,7 +143,9 @@ def main():
         "sampling_s_measured_after_compile_step": round(t_rest, 1),
         "measured_steps": len(pairs) - 1,
         "step_s": round(step_s, 2),
-        "sampling_s_50step": round(t_sample, 1),
+        # steady-state step time x args.steps; the first (compile) step
+        # is excluded from the measurement, so this is partly projected
+        f"sampling_s_extrapolated_{args.steps}step": round(t_sample, 1),
         "steps": args.steps,
         "param_gb": round(nbytes / 1e9, 2),
     }
@@ -171,11 +173,13 @@ def main():
             "vae_decode_fps": round(args.frames / t_dec, 2),
             "decode_compile_s": round(t_dec_incl - t_dec, 1),
             "value": round(t_sample + t_dec, 1),
-            "unit": "s/clip (50-step sampling + streamed decode, measured)",
+            "unit": (f"s/clip ({args.steps}-step sampling extrapolated "
+                     "from steady-state steps + streamed decode measured)"),
         })
     else:
         out.update({"value": round(t_sample, 1),
-                    "unit": "s (50-step sampling only, measured)"})
+                    "unit": (f"s ({args.steps}-step sampling extrapolated "
+                             "from steady-state steps)")})
 
     print(json.dumps(out))
 

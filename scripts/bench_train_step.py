@@ -196,12 +196,18 @@ def run(args):
                  + 2 * s_clip * 2 * h * h + attn_pl
                  + 2 * S * h * h + 2 * S * 2 * h * inner)
     fwd = b * L * per_layer
-    counted = fwd * (1 if args.mode == "fwd" else 3)
+    counted_mult = 1 if args.mode == "fwd" else 3
+    counted = fwd * counted_mult
     tflops = counted / step_s / 1e12
     extras = {
         "seq_tokens": S,
         "params": n_params,
-        "achieved_tflops_3xfwd": round(tflops, 1),
+        # counted = counted_multiplier x one DENSE forward (the standard
+        # training-FLOPs convention); for attn_impl='sta' this makes the
+        # MFU a DENSE-EQUIVALENT number -- see executed_tflops for the
+        # rate of work actually performed
+        "counted_multiplier": counted_mult,
+        "achieved_tflops_counted": round(tflops, 1),
         "train_mfu_vs_peak": round(tflops / peak_tflops, 4),
         "remat": cfg.remat,
         "remat_policy": cfg.remat_policy,
@@ -210,31 +216,55 @@ def run(args):
         "loss": float(loss),
         "device": str(dev),
     }
-    if cfg.attn_impl != "sta":
-        # EXECUTED flops (the bwd ceiling identity, docs/TRAINING.md):
-        # flash bwd runs 7 matmuls per tile = 3.5x its fwd, remat re-runs
-        # (L-k) full + k dense-only layers; the 3xfwd convention books
-        # none of that.  executed/time is the rate to compare against the
-        # calibration probe.
-        attn_f = b * L * attn_pl
-        dense_f = fwd - attn_f
-        if args.mode == "fwd":
-            executed = fwd
-        else:
-            if cfg.remat:
-                if cfg.remat_policy in ("save_attn", "offload_attn"):
-                    k_head = L
-                elif cfg.remat_policy == "save_attn_frac":
-                    from scail_tpu.models.dit import save_attn_head_layers
-                    k_head = save_attn_head_layers(cfg)
-                else:
-                    k_head = 0
-                rec = (k_head / L) * dense_f + ((L - k_head) / L) * fwd
+    if args.mode != "fwd":
+        # keep the historical key, but ONLY when it really is 3x-forward
+        # (a mode=fwd run used to reuse it for a 1x number)
+        extras["achieved_tflops_3xfwd"] = round(tflops, 1)
+    # EXECUTED flops (the bwd ceiling identity, docs/TRAINING.md):
+    # flash bwd runs 7 matmuls per tile = 3.5x its fwd, remat re-runs
+    # (L-k) full + k dense-only layers; the 3xfwd convention books
+    # none of that.  executed/time is the rate to compare against the
+    # calibration probe.  For sta the self-attention term shrinks to the
+    # executed (q, kv) pairs of the block table (ops/sta.py
+    # sta_executed_pairs; fwd/bwd kernels walk the same tables).
+    self_f = b * L * 4 * S * S * h
+    cross_f = b * L * attn_pl - self_f
+    dense_f = fwd - b * L * attn_pl
+    # mirror dit_forward's dense fallback: sta only engages when the
+    # strip tiles divide the latent grid (models/dit.py sta_resident)
+    sta_sparse = (cfg.attn_impl == "sta"
+                  and T % cfg.sta_tile[0] == 0 and Hp % cfg.sta_tile[1] == 0)
+    if sta_sparse:
+        from scail_tpu.ops.sta import sta_executed_pairs
+
+        pairs = sta_executed_pairs(
+            (T, Hp, Wp), Hp * Wp, T * (Hp // 2) * (Wp // 2),
+            cfg.sta_tile, cfg.sta_window,
+            windowed_pose=cfg.sta_windowed_pose,
+            pose_kv_window=cfg.sta_pose_kv_window)
+        self_exec = b * L * 4 * pairs * h
+        extras["sta_attn_exec_frac"] = round(pairs / (S * S), 4)
+    else:
+        self_exec = self_f
+    attn_exec = self_exec + cross_f
+    fwd_exec = dense_f + attn_exec
+    if args.mode == "fwd":
+        executed = fwd_exec
+    else:
+        if cfg.remat:
+            if cfg.remat_policy in ("save_attn", "offload_attn"):
+                k_head = L
+            elif cfg.remat_policy == "save_attn_frac":
+                from scail_tpu.models.dit import save_attn_head_layers
+                k_head = save_attn_head_layers(cfg)
             else:
-                rec = 0.0
-            executed = fwd + rec + 2 * dense_f + 3.5 * attn_f
-        extras["executed_tflops"] = round(executed / step_s / 1e12, 1)
-        extras["executed_over_counted"] = round(executed / counted, 3)
+                k_head = 0
+            rec = (k_head / L) * dense_f + ((L - k_head) / L) * fwd_exec
+        else:
+            rec = 0.0
+        executed = fwd_exec + rec + 2 * dense_f + 3.5 * attn_exec
+    extras["executed_tflops"] = round(executed / step_s / 1e12, 1)
+    extras["executed_over_counted"] = round(executed / counted, 3)
     return {
         "metric": "dit_1p3b_train_step_s_512p" if on_tpu else "train_smoke_s",
         "value": round(step_s, 3),

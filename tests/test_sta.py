@@ -343,3 +343,29 @@ print("MOSAIC_OK")
                           capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "MOSAIC_OK" in proc.stdout
+
+
+def test_sta_executed_pairs_matches_block_mask():
+    """sta_executed_pairs (the BENCH executed-FLOPs counter) == the
+    block-mask oracle's attended-pair count on pad-free geometries, in
+    all three window modes."""
+    from scail_tpu.ops.sta import sta_block_mask, sta_executed_pairs
+
+    cases = [
+        # (T, Hp, Wp, ref, pose, tile, window, windowed_pose, pkw)
+        (4, 4, 8, 64, 32, (2, 2), (2, 2), False, 0),
+        (4, 8, 8, 64, 64, (2, 2), (2, 2), True, 0),
+        (6, 8, 16, 96, 192, (3, 2), (3, 2), True, 2),
+    ]
+    for T, Hp, Wp, ref, pose, tile, win, wp, pkw in cases:
+        s = ref + T * Hp * Wp + pose
+        mask = sta_block_mask(s, (T, Hp, Wp), ref, pose, tile, win,
+                              windowed_pose=wp, pose_kv_window=pkw)
+        ex = sta_executed_pairs((T, Hp, Wp), ref, pose, tile, win,
+                                windowed_pose=wp, pose_kv_window=pkw)
+        assert ex == int(mask.sum()), (T, Hp, Wp, tile, win, wp, pkw)
+    # production geometry: the sparse step executes ~33% of dense
+    # self-attention pairs (pad included -- what the kernel really runs)
+    ex = sta_executed_pairs((21, 32, 56), 1792, 9408, (3, 8), (3, 2),
+                            windowed_pose=True, pose_kv_window=3)
+    assert abs(ex / 48832 ** 2 - 0.329) < 0.002

@@ -107,7 +107,16 @@ def load_image_chw_normalized(path: str) -> np.ndarray:
 
 def frames_to_tchw_normalized(frames: np.ndarray) -> np.ndarray:
     """uint8 (T,H,W,3) -> float32 (T,3,H,W) in [-1,1]
-    ((x - 127.5)/127.5, sample_video.py:316, :341)."""
+    ((x - 127.5)/127.5, sample_video.py:316, :341).
+
+    The multi-threaded native kernel (csrc/frameproc.cpp) fuses the
+    transpose+normalize without materializing the strided intermediate --
+    this is the dominant pure-host cost per item at 512p, and on a TPU
+    host the loader competes with JAX dispatch for cores."""
+    if frames.dtype == np.uint8 and frames.ndim == 4:
+        from scail_tpu.native import normalize_frames
+
+        return normalize_frames(frames)
     x = frames.astype(np.float32).transpose(0, 3, 1, 2)
     return (x - 127.5) / 127.5
 

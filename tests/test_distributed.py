@@ -217,6 +217,14 @@ def test_train_cli_two_process_distributed(tmp_path, mh_data_root):
         transient = ("DEADLINE_EXCEEDED" in blob
                      or "Shutdown barrier" in blob)
         assert transient, f"non-timeout failure:\n{blob[-4000:]}"
+        # A genuinely intermittent multi-host hang that happens to print
+        # DEADLINE_EXCEEDED would be masked by this retry on a 1-core
+        # box.  On hosts with spare cores the compile-skew excuse doesn't
+        # apply, so there the first attempt must already pass.
+        assert os.cpu_count() <= 2, (
+            f"retry only justified by 1-core compile skew; this "
+            f"{os.cpu_count()}-core host should pass first "
+            f"try:\n{blob[-4000:]}")
         sync2 = tmp_path / "sync2"
         sync2.mkdir()
         ok, outs, errs = attempt(sync2)

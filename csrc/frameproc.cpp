@@ -58,6 +58,70 @@ void normalize_frames_u8_to_f32(const uint8_t* in, float* out,
     for (auto& th : threads) th.join();
 }
 
+// Separable banded resize of (planes, in_h, in_w) float32 -> (planes,
+// out_h, out_w).  The caller supplies, per axis, a uniform-width band:
+// for output index i the taps cover input [lo[i], lo[i] + taps) with
+// weights w[i*taps .. i*taps+taps).  The bands are extracted from the
+// SAME torch-exact dense weight matrices the jax path uses
+// (scail_tpu/ops/resize.py builds them; scail_tpu/native/resize_kernels.py
+// is the shared numpy source), so host and device resizes agree to
+// float32 rounding.  Parallelised over planes (T*C for video).
+void resize_separable_f32(const float* in, float* out,
+                          int64_t planes, int64_t in_h, int64_t in_w,
+                          int64_t out_h, int64_t out_w,
+                          const int32_t* h_lo, const float* h_w, int64_t h_taps,
+                          const int32_t* w_lo, const float* w_w, int64_t w_taps,
+                          int n_threads) {
+    if (n_threads <= 0) {
+        n_threads = std::max(1u, std::thread::hardware_concurrency());
+    }
+    n_threads = (int)std::min<int64_t>(n_threads, planes > 0 ? planes : 1);
+
+    auto work = [&](int64_t p0, int64_t p1) {
+        // per-thread scratch for the H-resized intermediate (out_h, in_w)
+        std::vector<float> tmp((size_t)(out_h * in_w));
+        for (int64_t p = p0; p < p1; ++p) {
+            const float* src = in + p * in_h * in_w;
+            // H pass: tmp[y, :] = sum_k h_w[y,k] * src[h_lo[y]+k, :]
+            for (int64_t y = 0; y < out_h; ++y) {
+                float* trow = tmp.data() + y * in_w;
+                const float* wr = h_w + y * h_taps;
+                const int64_t lo = h_lo[y];
+                std::memset(trow, 0, sizeof(float) * in_w);
+                for (int64_t k = 0; k < h_taps; ++k) {
+                    const float wk = wr[k];
+                    if (wk == 0.0f) continue;
+                    const float* srow = src + (lo + k) * in_w;
+                    for (int64_t x = 0; x < in_w; ++x) trow[x] += wk * srow[x];
+                }
+            }
+            // W pass: out[y, x] = sum_k w_w[x,k] * tmp[y, w_lo[x]+k]
+            float* dst = out + p * out_h * out_w;
+            for (int64_t y = 0; y < out_h; ++y) {
+                const float* trow = tmp.data() + y * in_w;
+                float* drow = dst + y * out_w;
+                for (int64_t x = 0; x < out_w; ++x) {
+                    const float* wr = w_w + x * w_taps;
+                    const float* s = trow + w_lo[x];
+                    float acc = 0.0f;
+                    for (int64_t k = 0; k < w_taps; ++k) acc += wr[k] * s[k];
+                    drow[x] = acc;
+                }
+            }
+        }
+    };
+
+    std::vector<std::thread> threads;
+    const int64_t per = (planes + n_threads - 1) / n_threads;
+    for (int i = 0; i < n_threads; ++i) {
+        int64_t p0 = i * per;
+        int64_t p1 = std::min<int64_t>(p0 + per, planes);
+        if (p0 >= p1) break;
+        threads.emplace_back(work, p0, p1);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // fused center-crop of a (t, c, h, w) float32 tensor
 void center_crop_f32(const float* in, float* out,
                      int64_t t, int64_t c, int64_t h, int64_t w,

@@ -126,15 +126,23 @@ def resize_for_rectangle_crop(arr, image_size, reshape_mode: str = "center",
     """Aspect-preserving torch-bicubic resize + crop (data_video.py:141-170).
 
     arr: (T, C, H, W) float.  image_size: [H_out, W_out].
+
+    numpy input stays entirely on the HOST (native banded kernel +
+    fused crop, csrc/frameproc.cpp): the data loader must not dispatch
+    to the accelerator -- on a TPU host that ships raw decoded frames
+    over PCIe and serializes with the train step.  jax input keeps the
+    on-device einsum path (ops/resize.py); both share one weight-matrix
+    source (native/resize_kernels.py) so they agree to f32 rounding.
     """
-    arr = jnp.asarray(arr)
+    host = isinstance(arr, np.ndarray)
+    if not host:
+        arr = jnp.asarray(arr)
     t, c, h, w = arr.shape
     th, tw = image_size
     if w / h > tw / th:
         nh, nw = th, int(w * th / h)
     else:
         nh, nw = int(h * tw / w), tw
-    arr = resize_bicubic(arr, nh, nw, antialias=True)
     dh, dw = nh - th, nw - tw
     if reshape_mode == "center":
         top, left = dh // 2, dw // 2
@@ -144,6 +152,12 @@ def resize_for_rectangle_crop(arr, image_size, reshape_mode: str = "center",
         left = int(rng.integers(0, dw + 1))
     else:
         raise NotImplementedError(reshape_mode)
+    if host:
+        from scail_tpu.native import center_crop, resize_bicubic_host
+
+        out = resize_bicubic_host(arr, nh, nw, antialias=True)
+        return center_crop(out, top, left, th, tw)
+    arr = resize_bicubic(arr, nh, nw, antialias=True)
     return arr[:, :, top : top + th, left : left + tw]
 
 
@@ -151,6 +165,10 @@ def smpl_downsample(video_tchw):
     """0.5x bilinear downsample of the pose render
     (sample_video.py:350-351)."""
     t, c, h, w = video_tchw.shape
+    if isinstance(video_tchw, np.ndarray):
+        from scail_tpu.native import resize_bilinear_host
+
+        return resize_bilinear_host(video_tchw, h // 2, w // 2)
     return resize_bilinear(jnp.asarray(video_tchw), h // 2, w // 2)
 
 

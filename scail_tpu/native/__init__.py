@@ -35,14 +35,22 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    try:
+        return os.path.getmtime(os.path.abspath(_SRC)) > os.path.getmtime(_OUT)
+    except OSError:
+        return False
+
+
 def get_lib():
     global _LIB
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
-        if not os.path.exists(_OUT) and not _build():
-            _LIB = False
-            return None
+        if (not os.path.exists(_OUT) or _stale()) and not _build():
+            if not os.path.exists(_OUT):
+                _LIB = False
+                return None
         try:
             lib = ctypes.CDLL(_OUT)
             lib.normalize_frames_u8_to_f32.argtypes = [
@@ -52,9 +60,17 @@ def get_lib():
             ]
             lib.center_crop_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p] + \
                 [ctypes.c_int64] * 8
+            lib.resize_separable_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int,
+            ]
             _LIB = lib
             return lib
-        except OSError:
+        except (OSError, AttributeError):
             _LIB = False
             return None
 
@@ -72,6 +88,68 @@ def normalize_frames(frames_u8: np.ndarray, n_threads: int = 0) -> np.ndarray:
         return out
     x = frames_u8.astype(np.float32).transpose(0, 3, 1, 2)
     return (x - 127.5) / 127.5
+
+
+def _resize_host(x: np.ndarray, out_h: int, out_w: int, kind: str,
+                 antialias: bool, align_corners: bool = False,
+                 n_threads: int = 0) -> np.ndarray:
+    """(..., H, W) float -> (..., out_h, out_w) float32 on the HOST, with
+    the exact torch-parity numerics of scail_tpu/ops/resize.py (shared
+    weight builders, native/resize_kernels.py).  The data loader uses this
+    so decode->resize->normalize never touches the accelerator: on a TPU
+    host a device-side resize would both ship raw frames over PCIe and
+    serialize with the train step (the device is one queue).
+    Matches /root/reference/data_video.py:141-170's torchvision resize."""
+    from scail_tpu.native import resize_kernels as rk
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    *lead, in_h, in_w = x.shape
+    planes = int(np.prod(lead)) if lead else 1
+    lib = get_lib()
+    if lib is not None:
+        if kind == "bicubic":
+            h_band = (rk.banded_bicubic(in_h, out_h, antialias)
+                      if in_h != out_h else rk.banded_identity(in_h))
+            w_band = (rk.banded_bicubic(in_w, out_w, antialias)
+                      if in_w != out_w else rk.banded_identity(in_w))
+        else:
+            h_band = (rk.banded_bilinear(in_h, out_h, antialias, align_corners)
+                      if in_h != out_h else rk.banded_identity(in_h))
+            w_band = (rk.banded_bilinear(in_w, out_w, antialias, align_corners)
+                      if in_w != out_w else rk.banded_identity(in_w))
+        h_lo, h_w = h_band
+        w_lo, w_w = w_band
+        out = np.empty((planes, out_h, out_w), np.float32)
+        lib.resize_separable_f32(
+            x.ctypes.data, out.ctypes.data, planes, in_h, in_w, out_h, out_w,
+            h_lo.ctypes.data, h_w.ctypes.data, h_w.shape[1],
+            w_lo.ctypes.data, w_w.ctypes.data, w_w.shape[1], n_threads)
+        return out.reshape(*lead, out_h, out_w)
+    # numpy fallback: dense matrices, same numerics
+    if kind == "bicubic":
+        mh = rk.resize_matrix(in_h, out_h, antialias)
+        mw = rk.resize_matrix(in_w, out_w, antialias)
+    else:
+        mh = rk.lin_matrix(in_h, out_h, antialias, align_corners)
+        mw = rk.lin_matrix(in_w, out_w, antialias, align_corners)
+    xf = x.reshape(planes, in_h, in_w)
+    if in_h != out_h:
+        xf = np.einsum("oh,phw->pow", mh, xf, optimize=True)
+    if in_w != out_w:
+        xf = np.einsum("ow,phw->pho", mw, xf, optimize=True)
+    return np.ascontiguousarray(xf, dtype=np.float32).reshape(
+        *lead, out_h, out_w)
+
+
+def resize_bicubic_host(x: np.ndarray, out_h: int, out_w: int, *,
+                        antialias: bool = False) -> np.ndarray:
+    return _resize_host(x, out_h, out_w, "bicubic", antialias)
+
+
+def resize_bilinear_host(x: np.ndarray, out_h: int, out_w: int, *,
+                         antialias: bool = False,
+                         align_corners: bool = False) -> np.ndarray:
+    return _resize_host(x, out_h, out_w, "bilinear", antialias, align_corners)
 
 
 def center_crop(x_f32: np.ndarray, top: int, left: int, oh: int, ow: int) -> np.ndarray:

@@ -183,15 +183,26 @@ def run(args):
         build_dataset(root, args.items, args.frames)
 
     try:
-        item_s = bench_video_pose(root, args.measure, image_size, args.frames)
+        # every stage is measured twice and reported as the min: the first
+        # pass through a mode pays one-time costs (lazy imports, codec
+        # thread pools, page cache) that an A/B read would misattribute
+        # to the mode itself -- measured: first-pass ~3x inflation on
+        # whichever mode runs first, modes equal once warm
+        def twice(f, *a, **kw):
+            return min(f(*a, **kw), f(*a, **kw))
+
+        item_s = twice(bench_video_pose, root, args.measure, image_size,
+                       args.frames)
         shard = os.path.join(tmp or root, "shard-000000.tar")
         build_tar_shard(root, shard)
-        tar_native_s = bench_tar(shard, args.measure, image_size,
-                                 args.frames, force_python=False)
-        tar_python_s = bench_tar(shard, args.measure, image_size,
-                                 args.frames, force_python=True)
-        io_native = bench_tar_io_only(shard, force_python=False)
-        io_python = bench_tar_io_only(shard, force_python=True)
+        tar_native_s = twice(bench_tar, shard, args.measure, image_size,
+                             args.frames, force_python=False)
+        tar_python_s = twice(bench_tar, shard, args.measure, image_size,
+                             args.frames, force_python=True)
+        io_native = max(bench_tar_io_only(shard, force_python=False)
+                        for _ in range(2))
+        io_python = max(bench_tar_io_only(shard, force_python=True)
+                        for _ in range(2))
     finally:
         if tmp:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -117,17 +117,21 @@ def index_tar(path: str) -> List[Tuple[str, int, int]]:
 
 
 def read_member(path: str, offset: int, size: int) -> bytes:
-    """pread one member payload (GIL released in the native call)."""
+    """pread one member payload (GIL released in the native call).
+
+    Returns a bytes-like object (bytearray on the native path: pread
+    lands directly in it, avoiding the copy a bytes return would cost)."""
     lib = get_lib()
     if lib is None:
         with open(path, "rb") as f:
             f.seek(offset)
             return f.read(size)
-    buf = np.empty(size, np.uint8)
-    got = lib.tar_pread(path.encode(), offset, size, buf.ctypes.data)
+    buf = bytearray(size)
+    addr = (ctypes.c_char * size).from_buffer(buf) if size else None
+    got = lib.tar_pread(path.encode(), offset, size, addr)
     if got != size:
         raise OSError(f"short read from {path} @{offset}: {got}/{size}")
-    return buf.tobytes()
+    return buf
 
 
 class TarShardIndex:

@@ -94,6 +94,8 @@ def bench_video_pose(root: str, n_measure: int, image_size, frames: int):
 def build_tar_shard(root: str, shard_path: str):
     with tarfile.open(shard_path, "w") as tf:
         for d in sorted(os.listdir(root)):
+            if not os.path.isdir(os.path.join(root, d)):
+                continue  # e.g. the shard itself when it lives in root
             for fname in ("driving.mp4", "rendered.mp4", "ref.jpg"):
                 tf.add(os.path.join(root, d, fname), arcname=f"{d}.{fname}")
 

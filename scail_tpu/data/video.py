@@ -11,10 +11,12 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from scail_tpu.ops.resize import resize_bicubic, resize_bilinear
+# jax is imported lazily inside the jax-array branches: this module is
+# the HOST side of the pipeline, and importing it from loader tooling
+# (bench_input_pipeline, multi-process workers) must not spin up a
+# device client that is never used.
 
 
 def find_file_with_patterns(directory: str, patterns: List[str]) -> Optional[str]:
@@ -136,6 +138,8 @@ def resize_for_rectangle_crop(arr, image_size, reshape_mode: str = "center",
     """
     host = isinstance(arr, np.ndarray)
     if not host:
+        import jax.numpy as jnp
+
         arr = jnp.asarray(arr)
     t, c, h, w = arr.shape
     th, tw = image_size
@@ -157,6 +161,8 @@ def resize_for_rectangle_crop(arr, image_size, reshape_mode: str = "center",
 
         out = resize_bicubic_host(arr, nh, nw, antialias=True)
         return center_crop(out, top, left, th, tw)
+    from scail_tpu.ops.resize import resize_bicubic
+
     arr = resize_bicubic(arr, nh, nw, antialias=True)
     return arr[:, :, top : top + th, left : left + tw]
 
@@ -169,6 +175,10 @@ def smpl_downsample(video_tchw):
         from scail_tpu.native import resize_bilinear_host
 
         return resize_bilinear_host(video_tchw, h // 2, w // 2)
+    import jax.numpy as jnp
+
+    from scail_tpu.ops.resize import resize_bilinear
+
     return resize_bilinear(jnp.asarray(video_tchw), h // 2, w // 2)
 
 

@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+# jax imports stay inside the functions that need them: this module is
+# on the import path of host-only tooling (data loaders, converters)
+# that must not spin up a device client.
 
 
 def append_dims(x, target_ndim: int):
@@ -34,6 +36,7 @@ def count_params(tree) -> int:
 
 def cast_tree(tree, dtype):
     import jax
+    import jax.numpy as jnp
 
     return jax.tree.map(
         lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p, tree

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 # measured train-step times this pipeline must hide behind (BENCH_r04
-# extras, same geometry); refreshed each round by bench.py
+# extras, same geometry); update from the latest BENCH_r0N extras when
+# the measured steps move
 TRAIN_STEP_S = {"sta": 11.26, "dense": 18.7}
 
 

@@ -426,6 +426,101 @@ class EulerAncestralSampler(_EDMBase):
         return x, key
 
 
+@register(alias="sgm.modules.diffusionmodules.sampling.DPMPP2SAncestralSampler")
+class DPMPP2SAncestralSampler(EulerAncestralSampler):
+    """(sampling.py:294-331): 2nd-order DPM++ step toward sigma_down, then
+    the ancestral up-noise.  The reference skips the second network eval
+    when sigma_down == 0; under scan both evals always run and the Euler
+    result is selected, which is numerically identical."""
+
+    def step(self, call, x, carry, sigma, next_sigma):
+        key, sub = jax.random.split(carry)
+        sigma_down, sigma_up = _ancestral_step_sigmas(sigma, next_sigma, self.eta)
+        denoised = call(x, sigma)
+        x_euler = x + append_dims(sigma_down - sigma, x.ndim) * _to_d(
+            x, sigma, denoised)
+
+        safe_down = jnp.maximum(sigma_down, 1e-20)
+        t = -jnp.log(sigma)
+        t_next = -jnp.log(safe_down)
+        h = t_next - t
+        s = t + 0.5 * h
+        sigma_s = jnp.exp(-s)
+        m1 = append_dims(sigma_s / sigma, x.ndim)
+        m2 = append_dims(jnp.expm1(-0.5 * h), x.ndim)
+        m3 = append_dims(safe_down / sigma, x.ndim)
+        m4 = append_dims(jnp.expm1(-h), x.ndim)
+        x2 = m1 * x - m2 * denoised
+        denoised2 = call(x2, sigma_s)
+        x_dpm = m3 * x - m4 * denoised2
+        x = jnp.where(append_dims(sigma_down, x.ndim) > 0.0, x_dpm, x_euler)
+
+        noise = jax.random.normal(sub, x.shape, x.dtype)
+        x = jnp.where(append_dims(next_sigma, x.ndim) > 0.0,
+                      x + noise * self.s_noise * append_dims(sigma_up, x.ndim),
+                      x)
+        return x, key
+
+
+def _lms_coeff(order: int, t: np.ndarray, i: int, j: int) -> float:
+    """Exact polynomial integral of the Lagrange basis product
+    (sampling_utils.py:112-124 integrates it numerically with quad)."""
+    num = np.poly1d([1.0])
+    den = 1.0
+    for k in range(order):
+        if k == j:
+            continue
+        num = num * np.poly1d([1.0, -t[i - k]])
+        den *= t[i - j] - t[i - k]
+    P = num.integ()
+    return float((P(t[i + 1]) - P(t[i])) / den)
+
+
+@register(alias="sgm.modules.diffusionmodules.sampling.LinearMultistepSampler")
+class LinearMultistepSampler(_EDMBase):
+    """(sampling.py:220-255): Adams-Bashforth-style multistep over the sigma
+    ladder.  Coefficients depend only on the (static) schedule, so they are
+    precomputed on the host; the derivative history rides the scan carry as
+    a fixed (order, ...) buffer, newest first."""
+
+    def __init__(self, order=4, **kw):
+        super().__init__(**kw)
+        self.order = order
+
+    def __call__(self, denoise_fn, x, cond: Dict, uc: Optional[Dict] = None,
+                 num_steps=None, scale=None, **kw):
+        uc = default(uc, cond)
+        sigmas = np.asarray(self.discretization(default(num_steps, self.num_steps)),
+                            np.float32)
+        n = len(sigmas) - 1
+        coeffs = np.zeros((n, self.order), np.float32)
+        for i in range(n):
+            cur = min(i + 1, self.order)
+            for j in range(cur):
+                coeffs[i, j] = _lms_coeff(cur, sigmas.astype(np.float64), i, j)
+
+        cfg_scale = default(scale, getattr(self.guider, "scale", 1.0))
+        merged = self.guider.prepare_cond(cond, uc)
+        call = self._denoise_fn_wrap(denoise_fn, merged, cfg_scale, kw)
+        b = x.shape[0]
+        x = x.astype(jnp.float32) * float(np.sqrt(1.0 + sigmas[0] ** 2))
+
+        ds0 = jnp.zeros((self.order,) + x.shape, jnp.float32)
+        steps = (jnp.asarray(sigmas[:-1]), jnp.asarray(coeffs))
+
+        def scan_step(state, per):
+            x, ds = state
+            sigma, coeff = per
+            s_in = jnp.full((b,), sigma, jnp.float32)
+            d = _to_d(x, s_in, call(x, s_in))
+            ds = jnp.concatenate([d[None], ds[:-1]], axis=0)  # newest first
+            upd = jnp.tensordot(coeff, ds, axes=1)
+            return (x + upd, ds), None
+
+        (x, _), _ = jax.lax.scan(scan_step, (x, ds0), steps)
+        return x
+
+
 @register(alias="sgm.modules.diffusionmodules.sampling.VideoDDIMSampler")
 class VideoDDIMSampler(BaseDiffusionSampler):
     """DDIM over alphas_cumprod_sqrt parametrization (sampling.py:529-607,

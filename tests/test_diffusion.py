@@ -201,7 +201,9 @@ def test_edm_samplers_run_and_converge():
                       ("dpmpp2m", "sgm.modules.diffusionmodules.sampling.DPMPP2MSampler"),
                       ("sde_dpmpp2m", "sgm.modules.diffusionmodules.sampling.SDEDPMPP2MSampler"),
                       ("ddim", "sgm.modules.diffusionmodules.sampling.DDIMSampler"),
-                      ("euler_a", "sgm.modules.diffusionmodules.sampling.EulerAncestralSampler")]:
+                      ("euler_a", "sgm.modules.diffusionmodules.sampling.EulerAncestralSampler"),
+                      ("dpmpp2s_a", "sgm.modules.diffusionmodules.sampling.DPMPP2SAncestralSampler"),
+                      ("lms", "sgm.modules.diffusionmodules.sampling.LinearMultistepSampler")]:
         sampler = _edm_sampler(cls)
         out = _np.asarray(sampler(_linear_denoiser, x0, cond))
         assert _np.all(_np.isfinite(out)), name

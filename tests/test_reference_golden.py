@@ -369,3 +369,71 @@ def test_guiders_golden():
         jnp.asarray(xt.reshape(4, 3, 4, 6, 6))))
     np.testing.assert_allclose(got.reshape(2 * 3, 4, 6, 6), want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lms_and_dpmpp2s_samplers_golden():
+    """LinearMultistepSampler and DPMPP2SAncestralSampler (eta=0 so the
+    ancestral up-noise vanishes and the trajectory is deterministic) vs the
+    actual reference implementations (sampling.py:220-255, 294-331).  LMS
+    tolerance is loose-ish because the reference integrates the Lagrange
+    basis numerically (scipy quad, epsrel=1e-4) while we integrate the
+    polynomial exactly."""
+    samp_ref_mod = refmods.import_ref("sgm.modules.diffusionmodules.sampling")
+
+    from scail_tpu.diffusion.samplers import (DPMPP2SAncestralSampler,
+                                              LinearMultistepSampler)
+
+    disc_cfg = {"target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",
+                "params": {"sigma_min": 0.1, "sigma_max": 10.0}}
+    guider_cfg = {"target": "sgm.modules.diffusionmodules.guiders.VanillaCFG",
+                  "params": {"scale": 3.0}}
+
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+    ctx = rng.standard_normal((1, 5, 6)).astype(np.float32)
+
+    def ref_den(x, sigma, c, **kw):
+        s = sigma.reshape(-1, 1, 1, 1)
+        return 0.5 * x / (1.0 + s) + c["crossattn"].mean(
+            dim=(1, 2))[:, None, None, None]
+
+    import jax.numpy as jnp
+
+    def our_den(x, sigma, c, cfg_scale=None, **kw):
+        s = sigma.reshape(-1, 1, 1, 1)
+        return 0.5 * x / (1.0 + s) + jnp.mean(
+            c["crossattn"], axis=(1, 2))[:, None, None, None]
+
+    cases = [
+        ("LinearMultistepSampler", LinearMultistepSampler, {"order": 4}, 2e-4),
+        # eta=1e-30, not 0: the up-noise is then *1e-30 (underflows to no-op
+        # in f32, so the trajectory is deterministic) while dodging a second
+        # reference crash -- at eta=0 get_ancestral_step returns the python
+        # float 0.0 (sampling_utils.py:128-129) which ancestral_step feeds
+        # straight into append_dims (util.py:305: float has no .ndim).
+        ("DPMPP2SAncestralSampler", DPMPP2SAncestralSampler, {"eta": 1e-30}, 3e-5),
+    ]
+    for name, ours_cls, extra, tol in cases:
+        ref_cls = getattr(samp_ref_mod, name)
+        ref_s = ref_cls(num_steps=8, discretization_config=disc_cfg,
+                        guider_config=guider_cfg, device="cpu",
+                        verbose=False, **extra)
+        # Reference bug: Discretization.__call__ (discretizer.py:18-22)
+        # forwards return_idx into get_sigmas, but EDMDiscretization's
+        # get_sigmas (discretizer.py:40) doesn't accept it -- every EDM-
+        # ladder sampler crashes in the reference as shipped.  Shim it so
+        # the golden can run.
+        _orig = ref_s.discretization.get_sigmas
+        ref_s.discretization.get_sigmas = (
+            lambda n, device="cpu", return_idx=False: _orig(n, device=device))
+        our_s = ours_cls(num_steps=8, discretization_config=disc_cfg,
+                         guider_config=guider_cfg, **extra)
+        with torch.no_grad():
+            want = ref_s(ref_den, torch.from_numpy(x0.copy()),
+                         {"crossattn": torch.from_numpy(ctx)},
+                         uc={"crossattn": torch.zeros_like(
+                             torch.from_numpy(ctx))}).numpy()
+        got = np.asarray(our_s(our_den, jnp.asarray(x0),
+                               {"crossattn": jnp.asarray(ctx)},
+                               uc={"crossattn": jnp.zeros_like(jnp.asarray(ctx))}))
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol, err_msg=name)

@@ -90,5 +90,7 @@ def ensure_imports():
         "scail_tpu.diffusion.samplers",
         "scail_tpu.diffusion.loss",
         "scail_tpu.diffusion.conditioner",
+        "scail_tpu.models.unet",
+        "scail_tpu.models.video_unet",
     ):
         importlib.import_module(m)

@@ -194,6 +194,8 @@ def install_stubs() -> None:
 
             _stub("omegaconf", OmegaConf=_OmegaConf, ListConfig=list,
                   DictConfig=dict)
+            # openaimodel.py does `from omegaconf.listconfig import ListConfig`
+            _stub("omegaconf.listconfig", ListConfig=list)
 
     _installed = True
 

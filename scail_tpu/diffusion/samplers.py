@@ -275,6 +275,8 @@ class EulerEDMSampler(_EDMBase):
     def __init__(self, s_churn=0.0, s_tmin=0.0, s_tmax=float("inf"), s_noise=1.0, **kw):
         super().__init__(**kw)
         assert s_churn == 0.0, "stochastic churn not implemented (unused defaults)"
+        self.s_churn, self.s_tmin, self.s_tmax, self.s_noise = (
+            s_churn, s_tmin, s_tmax, s_noise)  # inert at churn 0; API parity
 
     def step(self, call, x, carry, sigma, next_sigma):
         denoised = call(x, sigma)
@@ -289,6 +291,8 @@ class HeunEDMSampler(_EDMBase):
     def __init__(self, s_churn=0.0, s_tmin=0.0, s_tmax=float("inf"), s_noise=1.0, **kw):
         super().__init__(**kw)
         assert s_churn == 0.0
+        self.s_churn, self.s_tmin, self.s_tmax, self.s_noise = (
+            s_churn, s_tmin, s_tmax, s_noise)
 
     def step(self, call, x, carry, sigma, next_sigma):
         denoised = call(x, sigma)

@@ -92,5 +92,8 @@ def ensure_imports():
         "scail_tpu.diffusion.conditioner",
         "scail_tpu.models.unet",
         "scail_tpu.models.video_unet",
+        "scail_tpu.diffusion.embedders",
+        "scail_tpu.autoencoding.autoencoder_kl",
+        "scail_tpu.inference.engine",
     ):
         importlib.import_module(m)

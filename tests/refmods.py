@@ -143,6 +143,19 @@ def install_stubs() -> None:
             kf = _stub("kornia.filters", filter3d=lambda x, k, **kw: x)
             _stub("kornia", filters=kf)
 
+    # sgm/inference/helpers.py imports the invisible-watermark encoder at
+    # module level; only the WatermarkEmbedder class (which we never
+    # construct) touches it.
+    if "imwatermark" not in sys.modules:
+        try:
+            import imwatermark  # noqa: F401
+        except ImportError:
+            class _WME:
+                def set_watermark(self, *a, **k):
+                    pass
+
+            _stub("imwatermark", WatermarkEncoder=_WME)
+
     for _name, _cls in (("magvit2_pytorch.attend", "Attend"),
                         ("gateloop_transformer", "SimpleGateLoopLayer"),
                         ("taylor_series_linear_attention",

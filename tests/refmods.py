@@ -143,6 +143,18 @@ def install_stubs() -> None:
             kf = _stub("kornia.filters", filter3d=lambda x, k, **kw: x)
             _stub("kornia", filters=kf)
 
+    # sat/tokenization/glm imports sentencepiece for ChineseSPTokenizer;
+    # we only golden the BPE/WordPiece paths, never the SP one.
+    if "sentencepiece" not in sys.modules:
+        try:
+            import sentencepiece  # noqa: F401
+        except ImportError:
+            class _SPP:
+                def __init__(self, *a, **k):
+                    raise RuntimeError("sentencepiece stubbed out")
+
+            _stub("sentencepiece", SentencePieceProcessor=_SPP)
+
     # sgm/inference/helpers.py imports the invisible-watermark encoder at
     # module level; only the WatermarkEmbedder class (which we never
     # construct) touches it.

@@ -390,3 +390,40 @@ def test_img2img_and_refiner_tiny_e2e(tiny_pipeline):
                             sampler=Sampler.EULER_ANCESTRAL, scale=2.0)
     out = np.asarray(tiny_pipeline.refiner(params, latent, "a cat"))
     assert out.shape == (1, 32, 32, 3) and np.all(np.isfinite(out))
+
+
+# ---------------------------------------------------------------------------
+# invisible watermark
+# ---------------------------------------------------------------------------
+def test_watermark_roundtrip_and_imperceptibility():
+    """WatermarkEmbedder (helpers.py:16-60 equivalent): the 48-bit payload
+    decodes back exactly, stays >40 dB PSNR, and survives mild noise."""
+    from scail_tpu.inference.watermark import (WATERMARK_BITS,
+                                               decode_watermark,
+                                               embed_watermark)
+
+    assert len(WATERMARK_BITS) == 48  # the reference constant's width
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    marked = embed_watermark(img)
+    assert marked.shape == img.shape and marked.dtype == img.dtype
+
+    mse = float(np.mean((marked - img) ** 2))
+    psnr = 10 * np.log10(1.0 / mse)
+    # uniform-noise chroma is the worst case for the reference's
+    # quantization scale (36/255); natural images land well above this
+    assert psnr > 35.0, psnr
+
+    assert decode_watermark(marked) == WATERMARK_BITS
+    # an unmarked image should NOT decode to the payload
+    assert decode_watermark(img) != WATERMARK_BITS
+
+    noisy = np.clip(
+        marked + rng.normal(0, 0.01, marked.shape).astype(np.float32), 0, 1)
+    assert decode_watermark(noisy) == WATERMARK_BITS
+
+    # the 5d (n, b, h, w, 3) layout the reference also accepts
+    stack = np.stack([img, img])
+    m5 = embed_watermark(stack)
+    assert m5.shape == stack.shape
+    assert decode_watermark(m5[0]) == WATERMARK_BITS

@@ -21,6 +21,7 @@ SCAIL_BENCH_FAST=1 to skip the extras.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -229,7 +230,7 @@ def main():
     enable_compilation_cache()
     if not os.environ.get("SCAIL_BENCH_SKIP_PROBE") and not _probe_tpu():
         print("bench: TPU probe failed/hung; falling back to the CPU "
-              "smoke path", flush=True)
+              "smoke path", flush=True, file=sys.stderr)
         from scail_tpu.utils.platform import force_platform
 
         force_platform("cpu")

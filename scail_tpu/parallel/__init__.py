@@ -8,6 +8,7 @@ from scail_tpu.parallel.mesh import (
     set_mesh,
     mesh_axis_size,
 )
+from scail_tpu.parallel.ring import ring_attention
 from scail_tpu.parallel.sharding import (
     PathRules,
     specs_for_tree,
@@ -24,6 +25,7 @@ __all__ = [
     "get_mesh",
     "set_mesh",
     "mesh_axis_size",
+    "ring_attention",
     "PathRules",
     "specs_for_tree",
     "shard_tree",

@@ -145,13 +145,16 @@ def run(args):
     sigmas = sampler.sigma_schedule(x.shape)
     pairs = np.stack([sigmas[:-1], sigmas[1:]], axis=1)
 
+    # diagnostics go to stderr: bench.py imports run() and its stdout is
+    # the ONE-JSON-line driver contract
     print(f"tiles={tile_t}  (n={n_tiles}, {2 * (n_tiles - 1)} tile "
-          f"denoises per tiled step)", flush=True)
+          f"denoises per tiled step)", flush=True, file=sys.stderr)
     t0 = time.perf_counter()
     x = long_step(x, jnp.asarray(pairs[0]), cond, uc)
     _ = np.asarray(x[0, 0, 0, 0, :2])
     t_compile = time.perf_counter() - t0
-    print(f"tiled step compile+run: {t_compile:.1f}s", flush=True)
+    print(f"tiled step compile+run: {t_compile:.1f}s", flush=True,
+          file=sys.stderr)
 
     n_meas = max(1, min(args.measure_steps, len(pairs) - 1))
     t0 = time.perf_counter()
@@ -159,7 +162,7 @@ def run(args):
         x = long_step(x, jnp.asarray(pairs[i]), cond, uc)
     _ = np.asarray(x[0, 0, 0, 0, :2])
     step_s = (time.perf_counter() - t0) / n_meas
-    print(f"tiled step steady: {step_s:.2f}s", flush=True)
+    print(f"tiled step steady: {step_s:.2f}s", flush=True, file=sys.stderr)
 
     # single-tile reference cost, same session
     xt = x[:, jnp.asarray(np.asarray(tiles[0], np.int32))]

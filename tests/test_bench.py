@@ -19,8 +19,10 @@ def test_bench_emits_json_line():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    assert len(lines) == 1, out.stdout
+    # the driver contract is ONE JSON line on stdout -- diagnostics must
+    # ride stderr, so any extra non-empty stdout line is a violation
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1 and lines[0].startswith("{"), out.stdout
     rec = json.loads(lines[0])
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec, rec

@@ -40,6 +40,55 @@ def test_ulysses_seq1_passthrough(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
 
 
+def test_ring_attention_matches_dense(rng):
+    """KV-ring attention (ppermute over 'seq') == dense full attention —
+    the beyond-reference long-sequence alternative to Ulysses (no head
+    count constraint: 8 heads over seq=4 x model=2 works, but so would
+    seq=16 with 8 heads, where Ulysses cannot go)."""
+    from scail_tpu.parallel.ring import ring_attention
+
+    mesh = make_mesh(MeshSpec(data=1, seq=4, model=2))
+    b, S, n, d = 2, 64, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, S, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, S, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, S, n, d)).astype(np.float32))
+
+    want = np.asarray(attention(q, k, v, impl="xla"))
+
+    spec = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, MODEL_AXIS, None))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+
+    run = jax.jit(lambda a, b_, c: ring_attention(a, b_, c, mesh))
+    got = np.asarray(run(qs, ks, vs))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # the ring must be collective-permutes on 'seq', not a gather
+    hlo = run.lower(qs, ks, vs).compile().as_text()
+    assert hlo.count("collective-permute") >= 2, (
+        hlo.count("collective-permute"))
+
+
+def test_ring_attention_seq1_passthrough_and_bf16(rng):
+    from scail_tpu.parallel.ring import ring_attention
+
+    mesh = make_mesh(MeshSpec(data=8, seq=1, model=1))
+    q = jnp.asarray(rng.standard_normal((8, 16, 4, 8)).astype(np.float32))
+    out = ring_attention(q, q, q, mesh)
+    want = attention(q, q, q, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+    # bf16 in -> bf16 out with f32 accumulation inside the ring
+    mesh = make_mesh(MeshSpec(data=1, seq=4, model=1),
+                     devices=jax.devices()[:4])
+    qb = jnp.asarray(rng.standard_normal((1, 32, 4, 8))).astype(jnp.bfloat16)
+    got = jax.jit(lambda a: ring_attention(a, a, a, mesh))(qb)
+    assert got.dtype == jnp.bfloat16
+    want = attention(qb.astype(jnp.float32), qb.astype(jnp.float32),
+                     qb.astype(jnp.float32), impl="xla")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.06, atol=0.02)
+
+
 def test_sharded_dit_forward_matches_single_device(rng):
     """TP+SP-sharded DiT forward == replicated forward (XLA SPMD inserts the
     collectives the reference's Column/RowParallel + spatial chunking did)."""

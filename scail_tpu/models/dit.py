@@ -521,7 +521,8 @@ def dit_forward(
     _platform = (_np.asarray(mesh.devices).flat[0].platform
                  if mesh is not None else None)
     fused_rope_dense = (
-        not sta_resident and cfg.attn_impl != "ulysses" and _mesh_trivial
+        not sta_resident and cfg.attn_impl not in ("ulysses", "ring")
+        and _mesh_trivial
         and resolve_impl(self_impl, hidden.shape[1], _platform) == "pallas"
         and not _os.environ.get("SCAIL_NO_FUSED_ROPE"))  # A/B escape hatch
 
@@ -555,6 +556,12 @@ def dit_forward(
             from scail_tpu.parallel.ulysses import ulysses_attention
 
             attn = ulysses_attention(q, k, v, mesh, impl="auto")
+        elif cfg.attn_impl == "ring" and mesh is not None:
+            # beyond-reference: KV ppermute ring over 'seq' — for seq
+            # shards beyond the head count, where Ulysses cannot go
+            from scail_tpu.parallel.ring import ring_attention
+
+            attn = ring_attention(q, k, v, mesh)
         elif sta_resident:
             # opt-in sliding-tile sparse sampling mode (ops/sta.py);
             # ref+pose streams stay dense, video attends a clamped
@@ -615,7 +622,7 @@ def dit_forward(
         # same under STA -- 'sta' is a SELF-attention impl, and letting it
         # fall through here picked the XLA reference path with a
         # materialized f32 logit tensor (3.7GB at 14B)
-        cross_impl = ("auto" if cfg.attn_impl in ("ulysses", "sta",
+        cross_impl = ("auto" if cfg.attn_impl in ("ulysses", "ring", "sta",
                                                   "pallas_int8")
                       else cfg.attn_impl)
         if cfg.use_i2v_clip:
